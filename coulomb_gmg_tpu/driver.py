@@ -1,0 +1,349 @@
+"""Simulation driver: the pipeline orchestrator.
+
+TPU-native equivalent of the reference's ``LaplaceProblem<dim>`` class and
+its ``run()`` loop (``src/step-50.cc:104-178, 1464-1573``): per adaptive
+cycle — mesh (generate or refine+transfer) -> setup (constraints, locality
+index, densities, moments) -> assemble -> assemble multigrid -> GMG/Jacobi
+CG solve -> error estimation + marking -> postprocess energies and
+energy-norm error — with the reference's exact log-line schema.
+
+Topology work (mesh, DoFs, constraint resolution, scatter plans) runs on
+host; all numerics (density, element integrals, scatter, CG + V-cycle)
+run through JAX and are device-agnostic (CPU float64 for parity, TPU
+float32 for speed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from coulomb_gmg_tpu.config import Config
+from coulomb_gmg_tpu.io.lammps import AtomData, read_lammps_file, empty_atom_data
+from coulomb_gmg_tpu.mesh.forest import Forest
+from coulomb_gmg_tpu.fem.constraints import build_constraints, distribute, set_zero
+from coulomb_gmg_tpu.fem.assembly import build_plan, assemble
+from coulomb_gmg_tpu.fem.integrals import stiffness_cells, rhs_cells
+from coulomb_gmg_tpu.ops.q1 import element_tables
+from coulomb_gmg_tpu.ops.density import (
+    atom_masks, compute_density, cell_quad_points)
+from coulomb_gmg_tpu.ops.spmv import CSR
+from coulomb_gmg_tpu.ops.smoothers import make_jacobi
+from coulomb_gmg_tpu.solver.cg import cg
+from coulomb_gmg_tpu.solver.multigrid import build_gmg
+from coulomb_gmg_tpu.adapt.estimator import estimate, mark_cells
+from coulomb_gmg_tpu.adapt.transfer import transfer_solution, transfer_cell_mask
+from coulomb_gmg_tpu.postprocess.energy import (
+    electrostatic_energy, energy_norm_error)
+from coulomb_gmg_tpu.models import problems as P
+from coulomb_gmg_tpu.models.problems import compute_dipole_moment
+from coulomb_gmg_tpu.utils.logging import Pcout, sci10, fix10
+from coulomb_gmg_tpu.utils.timer import TimerOutput
+
+
+class Simulation:
+    """One full adaptive simulation (the reference's LaplaceProblem)."""
+
+    def __init__(self, cfg: Config, atoms: AtomData = None, pcout=None):
+        self.cfg = cfg
+        self.pcout = pcout or Pcout()
+        self.timer = TimerOutput()
+        self.results = []          # per-cycle metric dicts
+
+        self.pcout(f"Problem type is:   {cfg.problem}")
+        self.pcout(f"Preconditioner :    {cfg.preconditioner}")
+        self.pcout("Rhs assembly optimization ENABLED" if cfg.flag_rhs_assembly
+                   else "Without rhs assembly optimization")
+
+        if atoms is not None:
+            self.atoms = atoms
+        else:
+            with self.timer.scope("Read LAMMPS input file"):
+                self.atoms = read_lammps_file(cfg.lammps_file, cfg.dim)
+            if cfg.dim != 3:
+                self.pcout("\nReading of Lammps input file implemented for "
+                           "3D only\n")
+            elif not self.atoms.has_atoms:
+                self.pcout("Unable to open the file.")
+        self.lammpsinput = self.atoms.has_atoms
+        if self.lammpsinput:
+            self.pcout(f"Number of atoms: {self.atoms.n}")
+
+        self.forest: Forest = None
+        self.solution: np.ndarray = None
+        self.mask = None           # (cells, atoms) locality mask
+        self.error_per_cell = None
+        self.tab_lap = element_tables(cfg.dim, cfg.degree, cfg.degree + 1)
+        self.tab_rhs = element_tables(cfg.dim, cfg.degree,
+                                      cfg.degree + cfg.quadrature_degree_rhs)
+        self.dipole = np.zeros(cfg.dim)
+        self.dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+    # ------------------------------------------------------------ meshing
+
+    def make_initial_mesh(self) -> Forest:
+        cfg = self.cfg
+        if cfg.problem == "Step16":
+            # hyper_cube + refine_global (src/step-50.cc:1496-1497)
+            return Forest.hyper_cube(cfg.dim, cfg.domain_left,
+                                     cfg.domain_right,
+                                     cfg.n_global_refinements)
+        # GaussianCharges: subdivided rectangle with vacuum margin
+        # (src/step-50.cc:1504-1526)
+        a = 2.0 * cfg.mesh_size_h
+        N = (cfg.domain_right - cfg.domain_left) / a
+        M = cfg.vacuum_repetitions
+        reps = int(round(2 * (N + 2 * M)))
+        lower = np.full(cfg.dim, cfg.domain_left - M * a)
+        return Forest.uniform(cfg.dim, reps, lower, cfg.mesh_size_h)
+
+    # -------------------------------------------------------------- setup
+
+    def coeff_fn(self):
+        if self.cfg.problem == "Step16":
+            return P.step16_coefficient
+        return None    # GaussianCharges: unit coefficient
+
+    def boundary_fn(self):
+        cfg = self.cfg
+        if cfg.boundary_conditions == "Homogeneous":
+            return None
+        if cfg.boundary_conditions == "Inhomogeneous":
+            dip = self.dipole
+            Q = np.zeros((cfg.dim, cfg.dim))
+            return lambda pts: np.asarray(P.nonzero_dbc(
+                jnp.asarray(pts), np.zeros(cfg.dim), dip, Q))
+        # Exact
+        if cfg.problem != "GaussianCharges":
+            raise ValueError("Exact BC requires GaussianCharges")
+        pos, q = self.atoms.positions, self.atoms.charges
+        return lambda pts: np.asarray(P.analytic_solution(
+            jnp.asarray(pts), jnp.asarray(pos), jnp.asarray(q), cfg.r_c))
+
+    def setup(self, cycle: int):
+        cfg = self.cfg
+        f = self.forest
+        with self.timer.scope("Setup system"):
+            dofs = f.dofs
+        if self.lammpsinput:
+            if cfg.flag_rhs_assembly and self.mask is None:
+                with self.timer.scope("RHS assembly optimization"):
+                    self.mask = atom_masks(f, self.atoms.positions,
+                                           cfg.nonzero_radius * cfg.r_c)
+            with self.timer.scope("Compute charge densities"):
+                self.rho = compute_density(
+                    f, self.tab_rhs.points, self.atoms.positions,
+                    self.atoms.charges, cfg.r_c,
+                    mask=self.mask if cfg.flag_rhs_assembly else None)
+            with self.timer.scope("Compute dipole moments"):
+                self.dipole = compute_dipole_moment(self.atoms.positions,
+                                                    self.atoms.charges)
+        else:
+            # analytic RHS path (lammpsinput == 0)
+            pts = cell_quad_points(f, self.tab_rhs.points)
+            if cfg.problem == "Step16":
+                self.rho = np.asarray(P.step16_rhs(jnp.asarray(pts)))
+            else:
+                self.rho = np.asarray(P.gaussian_rhs(jnp.asarray(pts),
+                                                     cfg.r_c))
+        with self.timer.scope("Setup system"):
+            self.constraints = build_constraints(dofs, self.boundary_fn())
+            self.plan = build_plan(dofs.cell2dof, self.constraints)
+
+    # ----------------------------------------------------------- assembly
+
+    def assemble_system(self):
+        cfg = self.cfg
+        f = self.forest
+        with self.timer.scope("Assemble system"):
+            h = jnp.asarray(f.cell_h())
+            coeff_fn = self.coeff_fn()
+            coeff_q = None
+            if coeff_fn is not None:
+                pts = cell_quad_points(f, self.tab_lap.points)
+                coeff_q = coeff_fn(jnp.asarray(pts))
+            K = stiffness_cells(self.tab_lap, h, coeff_q, dtype=self.dtype)
+            Fv = rhs_cells(self.tab_rhs, h, jnp.asarray(self.rho),
+                           dtype=self.dtype)
+            data, rhs = assemble(self.plan, K, Fv, dtype=self.dtype)
+            self.A = CSR.from_pattern(self.plan.pattern.indptr,
+                                      self.plan.pattern.indices, data)
+            self.rhs = rhs
+
+    def assemble_multigrid(self):
+        cfg = self.cfg
+        with self.timer.scope("Assemble Multigrid"):
+            self.gmg = build_gmg(
+                self.forest, self.forest.dofs, self.tab_lap,
+                coeff_fn=self.coeff_fn(), smoother=cfg.smoother,
+                smoother_damping=cfg.smoother_damping,
+                smoother_steps=cfg.smoother_steps,
+                coarse_tol=cfg.coarse_tol,
+                coarse_maxiter=cfg.coarse_max_iters, dtype=self.dtype)
+
+    # -------------------------------------------------------------- solve
+
+    def solve(self):
+        cfg = self.cfg
+        pc = self.pcout
+        with self.timer.scope("Solve"):
+            rhs = self.rhs
+            rhs_np = np.asarray(rhs)
+            pc("   L1 rhs norm " + sci10(np.abs(rhs_np).sum()))
+            pc("   L2 rhs norm " + sci10(np.linalg.norm(rhs_np)))
+            pc("   LInfinity rhs norm " + sci10(np.abs(rhs_np).max()))
+            data = np.asarray(self.A.data)
+            indptr, indices = self.plan.pattern.indptr, self.plan.pattern.indices
+            rowsum = np.add.reduceat(np.abs(data), indptr[:-1])
+            colsum = np.zeros(self.A.n_rows)
+            np.add.at(colsum, indices, np.abs(data))
+            pc("   L1 Matrix norm " + sci10(colsum.max()))
+            pc("   LInfinity Matrix norm " + sci10(rowsum.max()))
+            pc("   Frobenius Matrix norm " + sci10(np.sqrt((data ** 2).sum())))
+
+            tol = cfg.cg_rtol * float(np.linalg.norm(rhs_np))
+            x0 = None
+            if self.solution is not None and len(self.solution) == self.A.n_rows:
+                x0 = jnp.asarray(self.solution, dtype=self.dtype)
+            if cfg.preconditioner == "GMG":
+                precond = self.gmg
+                host = cfg.smoother == "ssor"
+            else:
+                precond = make_jacobi(self.A, cfg.jacobi_damping)
+                host = False
+            res = cg(self.A.matvec, jnp.asarray(rhs, dtype=self.dtype),
+                     x0=x0, precond=precond, tol=tol,
+                     maxiter=cfg.cg_max_iters, host=host)
+            x = np.asarray(res.x)
+            pc("   Starting value " + fix10(float(res.initial_residual)))
+            pc(f"   CG converged in {int(res.iterations)} iterations.")
+            pc("   Convergence value " + sci10(float(res.final_residual)))
+            pc("   L1 solution norm " + sci10(np.abs(x).sum()))
+            pc("   L2 solution norm " + sci10(np.linalg.norm(x)))
+            pc("   LInfinity solution norm " + sci10(np.abs(x).max()))
+            self.solution = distribute(self.constraints, x)
+            self.cg_iterations = int(res.iterations)
+            self.cg_start = float(res.initial_residual)
+            self.norms = {
+                "l1_rhs": float(np.abs(rhs_np).sum()),
+                "l2_rhs": float(np.linalg.norm(rhs_np)),
+                "linf_rhs": float(np.abs(rhs_np).max()),
+                "l1_mat": float(colsum.max()),
+                "linf_mat": float(rowsum.max()),
+                "fro_mat": float(np.sqrt((data ** 2).sum())),
+                "l1_sol": float(np.abs(x).sum()),
+                "l2_sol": float(np.linalg.norm(x)),
+                "linf_sol": float(np.abs(x).max()),
+            }
+
+    # --------------------------------------------------------- adaptivity
+
+    def estimate_and_mark(self):
+        cfg = self.cfg
+        with self.timer.scope("Estimate error and mark cells"):
+            rho_q = self.rho if self.lammpsinput else None
+            if not self.lammpsinput:
+                # analytic path uses the rhs function values in the residual
+                rho_q = self.rho
+            err = estimate(self.forest, self.forest.dofs.cell2dof,
+                           jnp.asarray(self.solution), jnp.asarray(rho_q),
+                           self.tab_rhs.points, self.tab_rhs.weights,
+                           degree=cfg.degree)
+            self.error_per_cell = err
+            self.flags, thr = mark_cells(err, cfg.refine_fraction_of_max)
+        self.pcout("Threshold value for refinement:\t" + sci10(thr))
+        self.threshold = thr
+
+    def refine(self, cycle: int):
+        cfg = self.cfg
+        with self.timer.scope(
+                "Refine, solution transfer and sending atoms list to child cells"):
+            old = self.forest
+            new = old.refine(self.flags)
+            if self.lammpsinput and cfg.flag_rhs_assembly:
+                self.mask = transfer_cell_mask(old, new, self.mask)
+            u_new = transfer_solution(old, new, self.solution)
+            self.forest = new
+            self.solution = u_new
+        self.setup(cycle)
+        self.solution = set_zero(self.constraints, self.solution)
+
+    # ------------------------------------------------------- postprocess
+
+    def postprocess_energy(self):
+        with self.timer.scope("Postprocess electrostatic energy"):
+            e = electrostatic_energy(self.forest, self.solution,
+                                     self.atoms.positions, self.atoms.charges,
+                                     self.cfg.r_c)
+        pc = self.pcout
+        pc("\nTotal analytical electrostatic energy :   " + sci10(e["analytic"]))
+        pc("Short-ranged energy contribution :  " + sci10(e["short_range"]))
+        pc("FE solution long-ranged energy contribution :    "
+           + sci10(e["fe_long_range"]))
+        pc("Self energy contribution : " + sci10(e["self_energy"]))
+        pc("Total electrostatic energy with split in short- and long-ranged : "
+           + sci10(e["total_split"]))
+        pc("Absolute Error between both energies :\t" + sci10(e["abs_error"])
+           + "\n")
+        pc("Relative Error in total electrostatic energy :\t"
+           + sci10(e["rel_error"]))
+        return e
+
+    def postprocess_energy_norm(self):
+        if self.cfg.problem != "GaussianCharges" or not self.lammpsinput:
+            return None
+        with self.timer.scope("Postprocess FE error"):
+            err = energy_norm_error(self.forest, self.tab_lap, self.solution,
+                                    self.atoms.positions, self.atoms.charges,
+                                    self.cfg.r_c)
+        self.pcout("Error in FE solution in energy norm:  " + sci10(err))
+        return err
+
+    # ---------------------------------------------------------------- run
+
+    def run(self):
+        cfg = self.cfg
+        pc = self.pcout
+        import jax
+        pc(f"Running with JAX/XLA on {len(jax.devices())} device(s)...")
+        pc(f"Dimension:\t{cfg.dim}")
+
+        for cycle in range(cfg.n_adaptive_cycles):
+            pc(f"Cycle {cycle}:")
+            if cycle == 0:
+                self.forest = self.make_initial_mesh()
+            else:
+                self.refine(cycle)
+            pc(f"   Number of active cells:       {self.forest.n_cells}")
+            if cycle == 0:
+                self.setup(cycle)
+            dofs = self.forest.dofs
+            by_level = ", ".join(str(ld.n_dofs) for ld in dofs.levels)
+            pc(f"   Number of degrees of freedom: {dofs.n_dofs} "
+               f"(by level: {by_level})")
+            self.assemble_system()
+            if cfg.preconditioner == "GMG":
+                self.assemble_multigrid()
+            self.solve()
+            self.estimate_and_mark()
+            cyc = {
+                "cycle": cycle,
+                "n_cells": self.forest.n_cells,
+                "n_dofs": dofs.n_dofs,
+                "dofs_by_level": [ld.n_dofs for ld in dofs.levels],
+                "cg_iterations": self.cg_iterations,
+                "cg_start": self.cg_start,
+                "threshold": self.threshold,
+                **self.norms,
+            }
+            if self.lammpsinput and self.atoms.n < 300:
+                cyc["energy"] = self.postprocess_energy()
+            if self.cfg.problem == "GaussianCharges" and self.lammpsinput:
+                cyc["energy_norm_error"] = self.postprocess_energy_norm()
+            self.results.append(cyc)
+
+        if cfg.flag_output_time:
+            self.timer.summary(pc)
+            pc(f"   \nTotal Elapsed wall time for solution: "
+               f"{self.timer.total_wall()} seconds.\n")
+        return self.results

@@ -1,0 +1,121 @@
+"""Gaussian charge-density evaluation and atom-cell locality.
+
+The reference's two hottest components (64k-atom run: 6,871 s locality index
++ 7,055 s density eval, ``SSOR_64k_atoms.o876224:68-69``) become batched,
+masked JAX computations:
+
+* locality index (``rhs_assembly_optimization``, src/step-50.cc:260-306):
+  per-cell atom set = atoms within ``cutoff * r_c`` of any cell vertex —
+  here a vectorized (cells x atoms) distance test, chunked over cells, with
+  the mask kept either dense (small atom counts) or as padded per-cell lists
+  (large).
+* density eval (``compute_charge_densities``, src/step-50.cc:509-575):
+  rho~(x_q) = 4 pi/(r_c^3 pi^1.5) * sum_k q_k exp(-|x_q - X_k|^2 / r_c^2)
+  over the cell's atom set.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from coulomb_gmg_tpu.mesh.forest import Forest, corner_offsets
+from coulomb_gmg_tpu.ops.q1 import ElementTables
+
+
+def cell_quad_points(forest: Forest, points_ref: np.ndarray,
+                     cells: Optional[np.ndarray] = None) -> np.ndarray:
+    """Physical quadrature points (n_cells, n_q, dim) for reference points
+    (n_q, dim)."""
+    lower = forest.cell_lower(cells)
+    h = forest.cell_h(cells)
+    return lower[:, None, :] + h[:, None, None] * points_ref[None, :, :]
+
+
+def atom_masks(forest: Forest, positions: np.ndarray, cutoff: float,
+               chunk: int = 65536) -> np.ndarray:
+    """(n_cells, n_atoms) bool: atom within `cutoff` of ANY cell vertex —
+    the reference's per-vertex criterion (src/step-50.cc:273-283)."""
+    dim = forest.dim
+    off = corner_offsets(dim).astype(np.float64)
+    lower = forest.cell_lower()
+    h = forest.cell_h()
+    pos = jnp.asarray(positions)
+    out = []
+    c2 = cutoff * cutoff
+    for s in range(0, forest.n_cells, chunk):
+        lo = jnp.asarray(lower[s:s + chunk])
+        hh = jnp.asarray(h[s:s + chunk])
+        verts = lo[:, None, :] + hh[:, None, None] * off[None, :, :]
+        d = verts[:, :, None, :] - pos[None, None, :, :]
+        r2 = jnp.sum(d * d, axis=-1)            # (c, 2^dim, atoms)
+        out.append(np.asarray((r2 < c2).any(axis=1)))
+    return np.concatenate(out, axis=0)
+
+
+def masks_to_lists(mask: np.ndarray, pad_to: Optional[int] = None):
+    """Dense (cells, atoms) mask -> padded per-cell atom index lists
+    (n_cells, K) int32 with -1 padding (the analogue of the reference's
+    ``charges_list_for_each_cell`` std::map of std::set)."""
+    counts = mask.sum(axis=1)
+    K = int(counts.max()) if pad_to is None else pad_to
+    n_cells = mask.shape[0]
+    lists = np.full((n_cells, max(K, 1)), -1, dtype=np.int32)
+    rows, cols = np.nonzero(mask)
+    # position within row
+    first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(len(rows)) - first[rows]
+    lists[rows, slot] = cols
+    return lists, counts
+
+
+def density_dense(points, positions, charges, r_c: float, mask=None):
+    """rho~ at (n_cells, n_q, dim) points; optional (n_cells, n_atoms) mask
+    implements the locality optimization with identical semantics to summing
+    over the per-cell set.  Dense in atoms: right when n_atoms is small or
+    the mask is mostly full."""
+    const = 4.0 * np.pi / (r_c ** 3 * np.pi ** 1.5)
+    d = points[:, :, None, :] - positions[None, None, :, :]
+    r2 = jnp.sum(d * d, axis=-1)                       # (c, q, a)
+    e = jnp.exp(-r2 / (r_c * r_c)) * charges[None, None, :]
+    if mask is not None:
+        e = e * mask[:, None, :]
+    return const * jnp.sum(e, axis=-1)
+
+
+def density_from_lists(points, positions, charges, r_c: float, lists):
+    """rho~ via padded per-cell atom lists (n_cells, K): O(cells * K) instead
+    of O(cells * atoms).  -1 slots contribute zero."""
+    const = 4.0 * np.pi / (r_c ** 3 * np.pi ** 1.5)
+    safe = jnp.maximum(lists, 0)
+    pos = positions[safe]                              # (c, K, dim)
+    q = jnp.where(lists >= 0, charges[safe], 0.0)      # (c, K)
+    d = points[:, :, None, :] - pos[:, None, :, :]
+    r2 = jnp.sum(d * d, axis=-1)                       # (c, q, K)
+    return const * jnp.sum(jnp.exp(-r2 / (r_c * r_c)) * q[:, None, :], axis=-1)
+
+
+def compute_density(forest: Forest, points_ref: np.ndarray, positions,
+                    charges, r_c: float, mask=None, lists=None,
+                    chunk: int = 32768) -> np.ndarray:
+    """Per-cell-per-quad-point density (n_cells, n_q), chunked over cells to
+    bound memory.  Chooses the list path when lists are given."""
+    n_q = len(points_ref)
+    pos = jnp.asarray(positions)
+    q = jnp.asarray(charges)
+    outs = []
+    for s in range(0, forest.n_cells, chunk):
+        cells = np.arange(s, min(s + chunk, forest.n_cells))
+        pts = jnp.asarray(cell_quad_points(forest, points_ref, cells))
+        if lists is not None:
+            outs.append(np.asarray(
+                density_from_lists(pts, pos, q, r_c, jnp.asarray(lists[s:s + chunk]))))
+        elif mask is not None:
+            outs.append(np.asarray(
+                density_dense(pts, pos, q, r_c, jnp.asarray(mask[s:s + chunk]))))
+        else:
+            outs.append(np.asarray(density_dense(pts, pos, q, r_c)))
+    return np.concatenate(outs, axis=0)

@@ -1,0 +1,37 @@
+"""Platform/dtype helpers.
+
+The deployment container pins ``JAX_PLATFORMS`` to the TPU plugin via
+sitecustomize; golden-parity runs need CPU + float64, benchmarks need the
+TPU + float32.  These helpers must be called before the first JAX
+computation (backend init is sticky).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def use_cpu(x64: bool = True, virtual_devices: int = 0) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    if virtual_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={virtual_devices}"
+        )
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    if x64:
+        jax.config.update("jax_enable_x64", True)
+
+
+def use_tpu() -> None:
+    import jax
+    # container default: the axon TPU plugin; nothing to do beyond ensuring
+    # x64 stays off (TPUs have no native float64)
+    jax.config.update("jax_enable_x64", False)
+
+
+def default_dtype():
+    import jax.numpy as jnp
+    import jax
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
