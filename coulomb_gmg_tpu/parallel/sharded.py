@@ -1,0 +1,172 @@
+"""SPMD sharded linear algebra over a JAX device mesh.
+
+The TPU-native equivalent of the reference's one parallelism strategy —
+MPI domain decomposition with row-partitioned Trilinos matrices, ghost
+imports, and scalar all-reduces inside CG (SURVEY 2.3; compress/ghost
+machinery at src/step-50.cc:653-657, 831-832) — expressed as
+``shard_map`` over a 1-D device mesh:
+
+* DoFs are row-partitioned into contiguous equal blocks (padded).
+* Matrices are COO entry lists partitioned by owner row, one padded block
+  per device (the partition-invariant analogue of owner-rows CSR).
+* SpMV: ``all_gather`` the solution (ghost import over ICI), local
+  gather+segment-scatter for the owned rows.
+* Dot products: local partial + ``psum`` (the CG all-reduce).
+* The GMG hierarchy shards every level the same way; the coarse level is
+  solved redundantly on every device (MGCoarseGridIterativeSolver
+  semantics, src/step-50.cc:962-967).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class ShardedCSR:
+    """Row-partitioned sparse matrix as per-device padded COO blocks.
+
+    Device-stacked arrays (leading axis = device):
+      rows_local: (D, E) int32 — row index within the device's block
+      cols:       (D, E) int32 — GLOBAL column index
+      data:       (D, E)       — entry values (0 in padding slots)
+    """
+
+    n_rows: int            # global (padded) row count
+    block: int             # rows per device
+    rows_local: np.ndarray
+    cols: np.ndarray
+    data: jnp.ndarray
+
+    @staticmethod
+    def from_coo(rowids, cols, data, n_rows: int, n_dev: int) -> "ShardedCSR":
+        n_pad = round_up(n_rows, n_dev)
+        block = n_pad // n_dev
+        owner = rowids // block
+        E = int(np.bincount(owner, minlength=n_dev).max())
+        r = np.zeros((n_dev, E), dtype=np.int32)
+        c = np.zeros((n_dev, E), dtype=np.int32)
+        d = np.zeros((n_dev, E), dtype=np.asarray(data).dtype)
+        for dev in range(n_dev):
+            sel = owner == dev
+            k = int(sel.sum())
+            r[dev, :k] = (rowids[sel] - dev * block).astype(np.int32)
+            c[dev, :k] = cols[sel].astype(np.int32)
+            d[dev, :k] = np.asarray(data)[sel]
+        return ShardedCSR(n_rows=n_pad, block=block, rows_local=r, cols=c,
+                          data=jnp.asarray(d))
+
+
+def shard_vector(x: np.ndarray, n_dev: int) -> np.ndarray:
+    n_pad = round_up(len(x), n_dev)
+    out = np.zeros(n_pad, dtype=np.asarray(x).dtype)
+    out[: len(x)] = np.asarray(x)
+    return out.reshape(n_dev, -1)
+
+
+def _local_matvec(rows_local, cols, data, x_full, block):
+    vals = data * x_full[cols]
+    return jnp.zeros(block, dtype=vals.dtype).at[rows_local].add(vals)
+
+
+def make_sharded_solver(mesh: Mesh, A: ShardedCSR, diag_block: jnp.ndarray,
+                        tol_rtol: float = 1e-8, maxiter: int = 500,
+                        damping: float = 0.6):
+    """Jitted SPMD Jacobi-preconditioned CG (the reference's Jacobi solve
+    path, src/step-50.cc:996-1005) over the device mesh.
+
+    Returns fn(rhs_blocks, x0_blocks) -> (x_blocks, iters, res0, res).
+    rhs/x blocks have shape (D, block).
+    """
+    axis = mesh.axis_names[0]
+    spec = P(axis)
+
+    def solve(rhs_b, x0_b, rows_local, cols, data, inv_diag):
+        # shard_map local views keep the leading (device) axis of size 1
+        rhs_b, x0_b = rhs_b[0], x0_b[0]
+        rows_local, cols, data, inv_diag = (rows_local[0], cols[0], data[0],
+                                            inv_diag[0])
+
+        def matvec(xb):
+            x_full = jax.lax.all_gather(xb, axis, tiled=True)
+            return _local_matvec(rows_local, cols, data, x_full, A.block)
+
+        def dot(a, b):
+            return jax.lax.psum(jnp.vdot(a, b), axis)
+
+        def norm(a):
+            return jnp.sqrt(dot(a, a))
+
+        M = lambda r: inv_diag * r
+        x = x0_b
+        r = rhs_b - matvec(x)
+        res0 = norm(r)
+        tol = tol_rtol * norm(rhs_b)
+        z = M(r)
+        rho = dot(r, z)
+
+        def cond(s):
+            x, r, z, p, rho, res, k = s
+            return (res >= tol) & (k < maxiter)
+
+        def body(s):
+            x, r, z, p, rho, res, k = s
+            q = matvec(p)
+            alpha = rho / dot(p, q)
+            x = x + alpha * p
+            r = r - alpha * q
+            res = norm(r)
+            z = M(r)
+            rho_new = dot(r, z)
+            p = z + (rho_new / rho) * p
+            return (x, r, z, p, rho_new, res, k + 1)
+
+        s = (x, r, z, z, rho, res0, jnp.asarray(0))
+        x, r, z, p, rho, res, k = jax.lax.while_loop(cond, body, s)
+        return x[None], k, res0, res
+
+    inv_diag = damping / diag_block
+
+    fn = shard_map(
+        partial(solve),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, spec),
+        out_specs=(spec, P(), P(), P()),
+        check_rep=False,
+    )
+
+    rows_local = jnp.asarray(A.rows_local)
+    cols = jnp.asarray(A.cols)
+    data = A.data
+    inv_diag_b = jnp.asarray(inv_diag)
+
+    @jax.jit
+    def run(rhs_b, x0_b):
+        return fn(rhs_b, x0_b, rows_local, cols, data, inv_diag_b)
+
+    return run
+
+
+def sharded_diag(A: ShardedCSR, n_dev: int) -> np.ndarray:
+    """(D, block) diagonal of the sharded matrix; rows without a diagonal
+    entry (padding rows) get 1 so Jacobi stays well-defined."""
+    data = np.asarray(A.data)
+    out = np.zeros((n_dev, A.block), dtype=data.dtype)
+    for dev in range(n_dev):
+        grow = A.rows_local[dev].astype(np.int64) + dev * A.block
+        mask = A.cols[dev] == grow
+        np.add.at(out[dev], A.rows_local[dev][mask], data[dev][mask])
+    out[out == 0.0] = 1.0
+    return out
