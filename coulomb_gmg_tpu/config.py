@@ -74,8 +74,10 @@ class Config:
     cg_rtol: float = 1e-8                # tol = rtol * ||b|| (src/step-50.cc:942)
     coarse_max_iters: int = 1000         # reference coarse CG (src/step-50.cc:962)
     coarse_tol: float = 1e-10
+    coarse_rtol: float = 0.0             # relative floor for f32 runs
     refine_fraction_of_max: float = 0.6  # threshold = 0.6*max (src/step-50.cc:1084)
     dtype: str = "float64"               # float64 for parity tests; float32/bf16 on TPU
+    solver_backend: str = "auto"         # auto | gmg | tpu_cg (bucketed TPU kernel)
     output_dir: str = "."
     write_vtu: bool = False
     n_devices: int = 1                   # size of the 1-D device mesh for sharded solves
@@ -95,6 +97,9 @@ class Config:
         if self.smoother not in _SMOOTHERS:
             raise ValueError(
                 f"smoother must be one of {_SMOOTHERS}, got {self.smoother!r}")
+        if self.solver_backend not in ("auto", "gmg", "tpu_cg"):
+            raise ValueError(
+                f"solver_backend must be auto|gmg|tpu_cg, got {self.solver_backend!r}")
         if self.dim not in (2, 3):
             raise ValueError("Only 2d and 3d dimensions are supported.")
         if self.degree < 1:

@@ -15,6 +15,8 @@ float32 for speed).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -77,7 +79,26 @@ class Simulation:
         self.tab_rhs = element_tables(cfg.dim, cfg.degree,
                                       cfg.degree + cfg.quadrature_degree_rhs)
         self.dipole = np.zeros(cfg.dim)
-        self.dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+        import jax
+        self.dtype = (jnp.float64 if cfg.dtype == "float64"
+                      and jax.config.jax_enable_x64 else jnp.float32)
+
+        # device placement: on an accelerator platform every fresh
+        # (op, shape) pair costs a remote compile, so eager/topology work
+        # stays on the CPU backend and only shape-stable jitted kernels
+        # (mask, density, bucketed solve) run on the accelerator.
+        import jax
+        self.tpu_device = None
+        try:
+            dev = jax.devices()[0]
+            if dev.platform not in ("cpu",):
+                self.tpu_device = dev
+        except Exception:
+            pass
+        self.use_tpu_cg = (cfg.solver_backend == "tpu_cg" or
+                           (cfg.solver_backend == "auto" and
+                            self.tpu_device is not None and
+                            self.dtype == jnp.float32))
 
     # ------------------------------------------------------------ meshing
 
@@ -125,16 +146,20 @@ class Simulation:
         f = self.forest
         with self.timer.scope("Setup system"):
             dofs = f.dofs
+        hot_device = self.tpu_device if self.use_tpu_cg else None
         if self.lammpsinput:
             if cfg.flag_rhs_assembly and self.mask is None:
                 with self.timer.scope("RHS assembly optimization"):
                     self.mask = atom_masks(f, self.atoms.positions,
-                                           cfg.nonzero_radius * cfg.r_c)
+                                           cfg.nonzero_radius * cfg.r_c,
+                                           device=hot_device)
             with self.timer.scope("Compute charge densities"):
                 self.rho = compute_density(
                     f, self.tab_rhs.points, self.atoms.positions,
                     self.atoms.charges, cfg.r_c,
-                    mask=self.mask if cfg.flag_rhs_assembly else None)
+                    mask=self.mask if cfg.flag_rhs_assembly else None,
+                    dtype=np.float32 if self.use_tpu_cg else None,
+                    device=hot_device)
             with self.timer.scope("Compute dipole moments"):
                 self.dipole = compute_dipole_moment(self.atoms.positions,
                                                     self.atoms.charges)
@@ -179,7 +204,8 @@ class Simulation:
                 smoother_damping=cfg.smoother_damping,
                 smoother_steps=cfg.smoother_steps,
                 coarse_tol=cfg.coarse_tol,
-                coarse_maxiter=cfg.coarse_max_iters, dtype=self.dtype)
+                coarse_maxiter=cfg.coarse_max_iters, dtype=self.dtype,
+                coarse_rtol=cfg.coarse_rtol)
 
     # -------------------------------------------------------------- solve
 
@@ -205,13 +231,53 @@ class Simulation:
             x0 = None
             if self.solution is not None and len(self.solution) == self.A.n_rows:
                 x0 = jnp.asarray(self.solution, dtype=self.dtype)
+            import jax
+            if self.use_tpu_cg:
+                from coulomb_gmg_tpu.solver.tpu_cg import tpu_cg_solve
+                x0_np = None
+                if self.solution is not None and \
+                        len(self.solution) == self.A.n_rows:
+                    x0_np = self.solution
+                x, k, res0, resf = tpu_cg_solve(
+                    self.A.rowids, self.plan.pattern.indices,
+                    np.asarray(self.A.data), rhs_np, x0_np,
+                    rtol=cfg.cg_rtol, maxiter=cfg.cg_max_iters * 10,
+                    device=self.tpu_device, dtype=self.dtype)
+                pc("   Starting value " + fix10(res0))
+                pc(f"   CG converged in {k} iterations.")
+                pc("   Convergence value " + sci10(resf))
+                pc("   L1 solution norm " + sci10(np.abs(x).sum()))
+                pc("   L2 solution norm " + sci10(np.linalg.norm(x)))
+                pc("   LInfinity solution norm " + sci10(np.abs(x).max()))
+                self.solution = distribute(self.constraints, x)
+                self.cg_iterations = k
+                self.cg_start = res0
+                self.norms = {
+                    "l1_rhs": float(np.abs(rhs_np).sum()),
+                    "l2_rhs": float(np.linalg.norm(rhs_np)),
+                    "linf_rhs": float(np.abs(rhs_np).max()),
+                    "l1_mat": float(colsum.max()),
+                    "linf_mat": float(rowsum.max()),
+                    "fro_mat": float(np.sqrt((data ** 2).sum())),
+                    "l1_sol": float(np.abs(x).sum()),
+                    "l2_sol": float(np.linalg.norm(x)),
+                    "linf_sol": float(np.abs(x).max()),
+                }
+                return
             if cfg.preconditioner == "GMG":
                 precond = self.gmg
                 host = cfg.smoother == "ssor"
+                if not host:
+                    # jit the whole V-cycle once per topology; the outer CG
+                    # runs host-side (few iterations, cheap dispatches)
+                    gmg = self.gmg
+                    precond = jax.jit(lambda g: gmg(g))
+                    host = True
             else:
                 precond = make_jacobi(self.A, cfg.jacobi_damping)
                 host = False
-            res = cg(self.A.matvec, jnp.asarray(rhs, dtype=self.dtype),
+            matvec = jax.jit(self.A.matvec)
+            res = cg(matvec, jnp.asarray(rhs, dtype=self.dtype),
                      x0=x0, precond=precond, tol=tol,
                      maxiter=cfg.cg_max_iters, host=host)
             x = np.asarray(res.x)
@@ -299,14 +365,73 @@ class Simulation:
         self.pcout("Error in FE solution in energy norm:  " + sci10(err))
         return err
 
+    def output_results(self, cycle: int):
+        """VTU/PVTU/VisIt output (src/step-50.cc:1149-1308), gated by
+        cfg.write_vtu; optional fields follow the reference's flags."""
+        import jax.numpy as jnp
+        from coulomb_gmg_tpu.io.vtu import (
+            write_vtu, write_pvtu, write_visit_record, nodal_gradient)
+        cfg = self.cfg
+        f = self.forest
+        pos = f.dofs.positions
+        point_data = {"solution": self.solution,
+                      "grad_phi": nodal_gradient(f, self.solution)}
+        if cfg.flag_analytical_solution and cfg.problem == "GaussianCharges":
+            if self.lammpsinput and self.atoms.n < 10:
+                point_data["Analytical_Solution_atoms"] = np.asarray(
+                    P.analytic_solution(jnp.asarray(pos),
+                                        jnp.asarray(self.atoms.positions),
+                                        jnp.asarray(self.atoms.charges),
+                                        cfg.r_c))
+            elif not self.lammpsinput:
+                point_data["Analytical_Solution_without_lammps"] = np.asarray(
+                    P.analytic_solution_without_lammps(jnp.asarray(pos),
+                                                       cfg.r_c))
+        if cfg.flag_rhs_field and self.lammpsinput and self.atoms.n < 10:
+            point_data["interpolated_rhs"] = np.asarray(
+                P.gaussian_rhs(jnp.asarray(pos), cfg.r_c)
+                if cfg.problem == "GaussianCharges"
+                else P.step16_rhs(jnp.asarray(pos)))
+        cell_data = {"subdomain": np.zeros(f.n_cells)}
+        if self.error_per_cell is not None and \
+                len(self.error_per_cell) == f.n_cells:
+            cell_data["error_indicator"] = self.error_per_cell
+        if cfg.flag_atoms_support and self.lammpsinput and \
+                cfg.flag_rhs_assembly and self.mask is not None:
+            for i in range(self.atoms.n):
+                cell_data[f"support_{i}"] = self.mask[:, i].astype(np.float64)
+        base = os.path.join(cfg.output_dir, f"solution-{cycle:05d}")
+        piece = f"{base}.0000.vtu"
+        write_vtu(piece, f, point_data, cell_data)
+        write_pvtu(f"{base}.pvtu", [piece], point_names=list(point_data),
+                   cell_names=list(cell_data))
+        write_visit_record(f"{base}.visit", [piece])
+
     # ---------------------------------------------------------------- run
 
     def run(self):
         cfg = self.cfg
         pc = self.pcout
         import jax
+        from contextlib import nullcontext
         pc(f"Running with JAX/XLA on {len(jax.devices())} device(s)...")
         pc(f"Dimension:\t{cfg.dim}")
+
+        # hybrid placement: default all eager work to the CPU backend; the
+        # shape-stable jitted kernels run on the accelerator via committed
+        # device_put inputs.
+        ctx = nullcontext()
+        if self.use_tpu_cg:
+            try:
+                ctx = jax.default_device(jax.devices("cpu")[0])
+            except Exception:
+                pass
+        with ctx:
+            return self._run_cycles()
+
+    def _run_cycles(self):
+        cfg = self.cfg
+        pc = self.pcout
 
         for cycle in range(cfg.n_adaptive_cycles):
             pc(f"Cycle {cycle}:")
@@ -322,10 +447,12 @@ class Simulation:
             pc(f"   Number of degrees of freedom: {dofs.n_dofs} "
                f"(by level: {by_level})")
             self.assemble_system()
-            if cfg.preconditioner == "GMG":
+            if cfg.preconditioner == "GMG" and not self.use_tpu_cg:
                 self.assemble_multigrid()
             self.solve()
             self.estimate_and_mark()
+            if cfg.write_vtu:
+                self.output_results(cycle)
             cyc = {
                 "cycle": cycle,
                 "n_cells": self.forest.n_cells,

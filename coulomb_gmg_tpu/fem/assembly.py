@@ -171,10 +171,11 @@ def build_plan(cell2dof: np.ndarray, constraints: Constraints) -> AssemblyPlan:
     d_g = constraints.inhomog[flat_crow[d_sel]]
 
     # --- sparsity pattern from all (row, col) incl. constrained diagonal
-    all_rows = np.concatenate([m_row, d_dof])
-    all_cols = np.concatenate([m_col, d_dof])
-    key = all_rows * np.int64(n) + all_cols
-    uniq = np.unique(key)
+    from coulomb_gmg_tpu.utils import native
+    m_key = m_row * np.int64(n) + m_col
+    d_key = d_dof * np.int64(n) + d_dof
+    uniq, inverse = native.sort_unique_inverse(
+        np.concatenate([m_key, d_key]))
     rows_u = (uniq // n).astype(np.int64)
     cols_u = (uniq % n).astype(np.int64)
     indptr = np.zeros(n + 1, dtype=np.int64)
@@ -182,8 +183,8 @@ def build_plan(cell2dof: np.ndarray, constraints: Constraints) -> AssemblyPlan:
     np.cumsum(indptr, out=indptr)
     pattern = CSRPattern(n_rows=n, indptr=indptr, indices=cols_u)
 
-    m_pos = np.searchsorted(uniq, m_row * np.int64(n) + m_col)
-    d_pos = np.searchsorted(uniq, d_dof * np.int64(n) + d_dof)
+    m_pos = inverse[: len(m_key)]
+    d_pos = inverse[len(m_key):]
 
     # --- rhs scatter (same expansion, vector form)
     r_cell, r_i, r_w, r_dof = exp_cell, exp_i, exp_w, exp_dof

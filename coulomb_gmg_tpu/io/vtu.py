@@ -1,0 +1,118 @@
+"""VTU / PVTU / VisIt output.
+
+Replaces the reference's ``DataOut`` + ``write_vtu``/``write_pvtu_record``/
+``write_visit_record`` pipeline (src/step-50.cc:1149-1308): unstructured
+hex/quad mesh with point data (solution, -grad phi, optional analytic
+solution / interpolated RHS / per-atom support), cell data (subdomain id,
+error indicator).  Plain ascii-embedded base64-free VTU (appended raw is
+overkill at these sizes; VisIt/ParaView read ascii fine).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from coulomb_gmg_tpu.mesh.forest import Forest, corner_offsets
+
+
+# VTK cell types: quad = 9, hexahedron = 12
+_VTK_TYPE = {2: 9, 3: 12}
+# VTK vertex orderings (VTK quad/hex are counter-clockwise, deal.II/our
+# ordering is lexicographic) — map local index -> our corner index
+_VTK_ORDER = {2: [0, 1, 3, 2], 3: [0, 1, 3, 2, 4, 5, 7, 6]}
+
+
+def write_vtu(path: str, forest: Forest,
+              point_data: Optional[Dict[str, np.ndarray]] = None,
+              cell_data: Optional[Dict[str, np.ndarray]] = None) -> None:
+    dofs = forest.dofs
+    pts = dofs.positions
+    if forest.dim == 2:
+        pts = np.concatenate([pts, np.zeros((len(pts), 1))], axis=1)
+    conn = dofs.cell2dof[:, _VTK_ORDER[forest.dim]]
+    n_pts, n_cells = len(pts), forest.n_cells
+    nb = conn.shape[1]
+
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?>\n')
+        f.write('<VTKFile type="UnstructuredGrid" version="0.1" '
+                'byte_order="LittleEndian">\n<UnstructuredGrid>\n')
+        f.write(f'<Piece NumberOfPoints="{n_pts}" NumberOfCells="{n_cells}">\n')
+        f.write('<Points>\n<DataArray type="Float64" NumberOfComponents="3" '
+                'format="ascii">\n')
+        np.savetxt(f, pts, fmt="%.10g")
+        f.write('</DataArray>\n</Points>\n<Cells>\n')
+        f.write('<DataArray type="Int64" Name="connectivity" format="ascii">\n')
+        np.savetxt(f, conn, fmt="%d")
+        f.write('</DataArray>\n<DataArray type="Int64" Name="offsets" '
+                'format="ascii">\n')
+        np.savetxt(f, np.arange(1, n_cells + 1) * nb, fmt="%d")
+        f.write('</DataArray>\n<DataArray type="UInt8" Name="types" '
+                'format="ascii">\n')
+        np.savetxt(f, np.full(n_cells, _VTK_TYPE[forest.dim]), fmt="%d")
+        f.write('</DataArray>\n</Cells>\n')
+
+        f.write('<PointData>\n')
+        for name, arr in (point_data or {}).items():
+            arr = np.asarray(arr)
+            ncomp = 1 if arr.ndim == 1 else arr.shape[1]
+            f.write(f'<DataArray type="Float64" Name="{name}" '
+                    f'NumberOfComponents="{ncomp}" format="ascii">\n')
+            np.savetxt(f, arr, fmt="%.10g")
+            f.write('</DataArray>\n')
+        f.write('</PointData>\n<CellData>\n')
+        for name, arr in (cell_data or {}).items():
+            f.write(f'<DataArray type="Float64" Name="{name}" '
+                    'format="ascii">\n')
+            np.savetxt(f, np.asarray(arr), fmt="%.10g")
+            f.write('</DataArray>\n')
+        f.write('</CellData>\n</Piece>\n</UnstructuredGrid>\n</VTKFile>\n')
+
+
+def write_pvtu(path: str, piece_files, point_names=(), cell_names=()):
+    """Master record over per-shard pieces (src/step-50.cc:1282-1297)."""
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0"?>\n')
+        f.write('<VTKFile type="PUnstructuredGrid" version="0.1">\n'
+                '<PUnstructuredGrid GhostLevel="0">\n')
+        f.write('<PPoints><PDataArray type="Float64" NumberOfComponents="3"/>'
+                '</PPoints>\n<PPointData>\n')
+        for n in point_names:
+            f.write(f'<PDataArray type="Float64" Name="{n}"/>\n')
+        f.write('</PPointData>\n<PCellData>\n')
+        for n in cell_names:
+            f.write(f'<PDataArray type="Float64" Name="{n}"/>\n')
+        f.write('</PCellData>\n')
+        for p in piece_files:
+            f.write(f'<Piece Source="{os.path.basename(p)}"/>\n')
+        f.write('</PUnstructuredGrid>\n</VTKFile>\n')
+
+
+def write_visit_record(path: str, piece_files) -> None:
+    """VisIt master file (src/step-50.cc:1298-1303)."""
+    with open(path, "w") as f:
+        f.write(f"!NBLOCKS {len(piece_files)}\n")
+        for p in piece_files:
+            f.write(os.path.basename(p) + "\n")
+
+
+def nodal_gradient(forest: Forest, u: np.ndarray) -> np.ndarray:
+    """-grad(phi) averaged to nodes (the GradientPostprocessor of
+    src/step-50.cc:1123-1147, rendered as nodal data)."""
+    from coulomb_gmg_tpu.ops.q1 import _basis_at
+    dim = forest.dim
+    dofs = forest.dofs
+    off = corner_offsets(dim).astype(np.float64)
+    grads_at_corners = _basis_at(dim, 1, off)[1]        # (nb, nb, dim)
+    ucell = np.asarray(u)[dofs.cell2dof]                # (c, nb)
+    h = forest.cell_h()
+    g = np.einsum("cb,vbd->cvd", ucell, grads_at_corners) / h[:, None, None]
+    out = np.zeros((dofs.n_dofs, dim))
+    cnt = np.zeros(dofs.n_dofs)
+    np.add.at(out, dofs.cell2dof.reshape(-1),
+              g.reshape(-1, dim))
+    np.add.at(cnt, dofs.cell2dof.reshape(-1), 1.0)
+    return -out / cnt[:, None]

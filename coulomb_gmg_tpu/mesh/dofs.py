@@ -81,10 +81,13 @@ class DofInfo:
 
 
 def build_dofs(forest: Forest) -> DofInfo:
+    from coulomb_gmg_tpu.utils import native
     dim = forest.dim
     ckeys = forest.cell_corner_keys()                 # (n_cells, 2^dim)
-    kidx = KeyIndex(ckeys.reshape(-1))
-    cell2dof = kidx.lookup(ckeys)
+    uniq, inverse = native.sort_unique_inverse(ckeys.reshape(-1))
+    kidx = KeyIndex.__new__(KeyIndex)
+    kidx.keys = uniq
+    cell2dof = inverse.reshape(ckeys.shape)
     coords = forest.vkey_to_coords(kidx.keys)
     S = forest.fine_side
     boundary = ((coords == 0) | (coords == S)).any(axis=1)
@@ -202,14 +205,17 @@ def _find_hanging(forest: Forest, kidx: KeyIndex):
 # -------------------------------------------------------------- level dofs
 
 def _build_level(forest: Forest, l: int) -> LevelDofs:
+    from coulomb_gmg_tpu.utils import native
     dim = forest.dim
     level_ijk, active_index = forest.level_cells[l]
     s = 1 << (forest.max_level - l)
     off = corner_offsets(dim)
     corners = (level_ijk[:, None, :] + off[None, :, :]) * s
     keys = forest.vkey(corners)
-    kidx = KeyIndex(keys.reshape(-1))
-    cell2dof = kidx.lookup(keys)
+    uniq, inverse = native.sort_unique_inverse(keys.reshape(-1))
+    kidx = KeyIndex.__new__(KeyIndex)
+    kidx.keys = uniq
+    cell2dof = inverse.reshape(keys.shape)
     coords = forest.vkey_to_coords(kidx.keys)
     S = forest.fine_side
     boundary = ((coords == 0) | (coords == S)).any(axis=1)

@@ -24,23 +24,25 @@ import numpy as np
 
 
 class KeyIndex:
-    """Sorted unique int64 key set with O(log n) vectorized lookup."""
+    """Sorted unique int64 key set with O(log n) vectorized lookup.
+    Backed by the native topology engine when available
+    (native/forest_engine.cpp), numpy otherwise."""
 
     def __init__(self, keys: np.ndarray):
-        self.keys = np.unique(np.asarray(keys, dtype=np.int64))
+        from coulomb_gmg_tpu.utils import native
+        self.keys, _ = native.sort_unique_inverse(
+            np.asarray(keys, dtype=np.int64))
 
     def __len__(self) -> int:
         return len(self.keys)
 
     def lookup(self, query: np.ndarray) -> np.ndarray:
         """Positions of `query` in the key set, -1 where absent."""
+        from coulomb_gmg_tpu.utils import native
         query = np.asarray(query, dtype=np.int64)
         if len(self.keys) == 0:
             return np.full(query.shape, -1, dtype=np.int64)
-        pos = np.searchsorted(self.keys, query)
-        pos = np.clip(pos, 0, len(self.keys) - 1)
-        hit = self.keys[pos] == query
-        return np.where(hit, pos, -1).astype(np.int64)
+        return native.lookup(self.keys, query)
 
     def contains(self, query: np.ndarray) -> np.ndarray:
         return self.lookup(query) >= 0

@@ -36,24 +36,37 @@ def cell_quad_points(forest: Forest, points_ref: np.ndarray,
 
 
 def atom_masks(forest: Forest, positions: np.ndarray, cutoff: float,
-               chunk: int = 65536) -> np.ndarray:
+               chunk: int = 65536, device=None) -> np.ndarray:
     """(n_cells, n_atoms) bool: atom within `cutoff` of ANY cell vertex —
-    the reference's per-vertex criterion (src/step-50.cc:273-283)."""
+    the reference's per-vertex criterion (src/step-50.cc:273-283).
+    Fixed-size jitted chunks (one compile, reused)."""
     dim = forest.dim
+    n_cells = forest.n_cells
     off = corner_offsets(dim).astype(np.float64)
     lower = forest.cell_lower()
     h = forest.cell_h()
-    pos = jnp.asarray(positions)
+    import jax
+    put = (lambda a: jax.device_put(np.asarray(a), device)) if device is not None \
+        else jnp.asarray
+    pos = put(positions)
+    chunk = min(chunk, max(n_cells, 1))
+    n_pad = ((n_cells + chunk - 1) // chunk) * chunk
+    lower_p = np.full((n_pad, dim), 1e30); lower_p[:n_cells] = lower
+    h_p = np.ones(n_pad); h_p[:n_cells] = h
     out = []
-    c2 = cutoff * cutoff
-    for s in range(0, forest.n_cells, chunk):
-        lo = jnp.asarray(lower[s:s + chunk])
-        hh = jnp.asarray(h[s:s + chunk])
-        verts = lo[:, None, :] + hh[:, None, None] * off[None, :, :]
-        d = verts[:, :, None, :] - pos[None, None, :, :]
-        r2 = jnp.sum(d * d, axis=-1)            # (c, 2^dim, atoms)
-        out.append(np.asarray((r2 < c2).any(axis=1)))
-    return np.concatenate(out, axis=0)
+    for s in range(0, n_pad, chunk):
+        out.append(np.asarray(_vertex_mask_jit(
+            put(lower_p[s:s + chunk]), put(h_p[s:s + chunk]),
+            put(off), pos, cutoff * cutoff)))
+    return np.concatenate(out, axis=0)[:n_cells]
+
+
+@jax.jit
+def _vertex_mask_jit(lo, hh, off, pos, c2):
+    verts = lo[:, None, :] + hh[:, None, None] * off[None, :, :]
+    d = verts[:, :, None, :] - pos[None, None, :, :]
+    r2 = jnp.sum(d * d, axis=-1)                # (c, 2^dim, atoms)
+    return (r2 < c2).any(axis=1)
 
 
 def masks_to_lists(mask: np.ndarray, pad_to: Optional[int] = None):
@@ -100,22 +113,73 @@ def density_from_lists(points, positions, charges, r_c: float, lists):
 
 def compute_density(forest: Forest, points_ref: np.ndarray, positions,
                     charges, r_c: float, mask=None, lists=None,
-                    chunk: int = 32768) -> np.ndarray:
+                    chunk: int = 32768, dtype=None, device=None) -> np.ndarray:
     """Per-cell-per-quad-point density (n_cells, n_q), chunked over cells to
-    bound memory.  Chooses the list path when lists are given."""
+    bound memory.  Chooses the list path when lists are given.
+
+    Cells are padded to a whole number of fixed-size chunks so the jitted
+    chunk kernel compiles ONCE and is reused across chunks, cycles, and
+    topologies (critical on TPU where compiles are expensive).
+    """
+    n_cells = forest.n_cells
     n_q = len(points_ref)
-    pos = jnp.asarray(positions)
-    q = jnp.asarray(charges)
+    dim = forest.dim
+    import jax
+
+    def put(a):
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.floating) and dtype is not None:
+            a = a.astype(dtype)
+        return jax.device_put(a, device) if device is not None \
+            else jnp.asarray(a)
+
+    pos = put(positions)
+    q = put(charges)
+    chunk = min(chunk, max(n_cells, 1))
+
+    lower = forest.cell_lower()
+    h = forest.cell_h()
+    n_pad = ((n_cells + chunk - 1) // chunk) * chunk
+    lower_p = np.zeros((n_pad, dim)); lower_p[:n_cells] = lower
+    h_p = np.ones(n_pad); h_p[:n_cells] = h
+
     outs = []
-    for s in range(0, forest.n_cells, chunk):
-        cells = np.arange(s, min(s + chunk, forest.n_cells))
-        pts = jnp.asarray(cell_quad_points(forest, points_ref, cells))
+    for s in range(0, n_pad, chunk):
+        pts = (lower_p[s:s + chunk, None, :]
+               + h_p[s:s + chunk, None, None] * points_ref[None, :, :])
+        pts = put(pts)
         if lists is not None:
+            li = np.full((chunk, lists.shape[1]), -1, dtype=np.int32)
+            e = min(s + chunk, n_cells)
+            if e > s:
+                li[: e - s] = lists[s:e]
             outs.append(np.asarray(
-                density_from_lists(pts, pos, q, r_c, jnp.asarray(lists[s:s + chunk]))))
+                _density_lists_jit(pts, pos, q, r_c, put(li))))
         elif mask is not None:
+            mk = np.zeros((chunk, mask.shape[1]), dtype=bool)
+            e = min(s + chunk, n_cells)
+            if e > s:
+                mk[: e - s] = mask[s:e]
             outs.append(np.asarray(
-                density_dense(pts, pos, q, r_c, jnp.asarray(mask[s:s + chunk]))))
+                _density_dense_jit(pts, pos, q, r_c, put(mk))))
         else:
-            outs.append(np.asarray(density_dense(pts, pos, q, r_c)))
-    return np.concatenate(outs, axis=0)
+            outs.append(np.asarray(_density_all_jit(pts, pos, q, r_c)))
+    return np.concatenate(outs, axis=0)[:n_cells]
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("r_c",))
+def _density_dense_jit(points, positions, charges, r_c, mask):
+    return density_dense(points, positions, charges, r_c, mask)
+
+
+@_partial(jax.jit, static_argnames=("r_c",))
+def _density_all_jit(points, positions, charges, r_c):
+    return density_dense(points, positions, charges, r_c)
+
+
+@_partial(jax.jit, static_argnames=("r_c",))
+def _density_lists_jit(points, positions, charges, r_c, lists):
+    return density_from_lists(points, positions, charges, r_c, lists)

@@ -132,11 +132,14 @@ class GMGPreconditioner:
     n_dofs: int
     coarse_tol: float = 1e-10
     coarse_maxiter: int = 1000
+    coarse_rtol: float = 0.0      # >0: relative floor (float32 runs)
 
     def _coarse_solve(self, d0):
         A0 = self.matrices[0]
-        return cg(A0.matvec, d0, tol=self.coarse_tol,
-                  maxiter=self.coarse_maxiter).x
+        tol = self.coarse_tol
+        if self.coarse_rtol > 0.0:
+            tol = jnp.maximum(tol, self.coarse_rtol * jnp.linalg.norm(d0))
+        return cg(A0.matvec, d0, tol=tol, maxiter=self.coarse_maxiter).x
 
     def __call__(self, g):
         L = len(self.matrices) - 1
@@ -182,7 +185,8 @@ def build_gmg(forest: Forest, dofs: DofInfo, tables, coeff_fn=None,
               smoother: str = "ssor", smoother_damping: float = 0.5,
               smoother_steps: int = 2, coarse_tol: float = 1e-10,
               coarse_maxiter: int = 1000, dtype=jnp.float64,
-              jacobi_damping: float = 0.6) -> GMGPreconditioner:
+              jacobi_damping: float = 0.6,
+              coarse_rtol: float = 0.0) -> GMGPreconditioner:
     """Assemble all levels and wire the V-cycle.
 
     coeff_fn: points (m, dim) -> coefficient, or None for unit coefficient.
@@ -244,7 +248,8 @@ def build_gmg(forest: Forest, dofs: DofInfo, tables, coeff_fn=None,
                              prolongations=prolongs, smoothers=smoothers,
                              copy_global=copy_global, copy_level=copy_level,
                              n_dofs=dofs.n_dofs, coarse_tol=coarse_tol,
-                             coarse_maxiter=coarse_maxiter)
+                             coarse_maxiter=coarse_maxiter,
+                             coarse_rtol=coarse_rtol)
 
 
 def _empty_constraints(n: int) -> Constraints:

@@ -1,0 +1,100 @@
+"""ctypes bridge to the native topology engine (native/forest_engine.cpp).
+
+Builds the shared library on first use (g++, cached) and exposes the two
+key primitives behind numpy-compatible signatures with transparent numpy
+fallback, so the framework runs identically with or without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native")
+_SO = os.path.join(_NATIVE_DIR, "libforest_engine.so")
+
+
+def _load():
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("CGMG_NO_NATIVE"):
+            return None
+        try:
+            if not os.path.isfile(_SO) or (
+                    os.path.getmtime(_SO) <
+                    os.path.getmtime(os.path.join(_NATIVE_DIR,
+                                                  "forest_engine.cpp"))):
+                subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+                               check=True, capture_output=True)
+            lib = ctypes.CDLL(_SO)
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            lib.cgmg_sort_unique_inverse.restype = ctypes.c_int64
+            lib.cgmg_sort_unique_inverse.argtypes = [
+                i64p, ctypes.c_int64, i64p, i64p]
+            lib.cgmg_searchsorted.restype = None
+            lib.cgmg_searchsorted.argtypes = [
+                i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
+            lib.cgmg_lookup.restype = None
+            lib.cgmg_lookup.argtypes = [
+                i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
+            _LIB = lib
+        except Exception:
+            _LIB = None
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def sort_unique_inverse(keys: np.ndarray):
+    """(unique_sorted, inverse) — np.unique(keys, return_inverse=True)."""
+    keys = np.ascontiguousarray(keys, dtype=np.int64).reshape(-1)
+    lib = _load()
+    if lib is None or len(keys) < (1 << 15):
+        return np.unique(keys, return_inverse=True)
+    out = np.empty_like(keys)
+    inverse = np.empty_like(keys)
+    n_u = lib.cgmg_sort_unique_inverse(keys, len(keys), out, inverse)
+    return out[:n_u].copy(), inverse
+
+
+def searchsorted(sorted_keys: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    sorted_keys = np.ascontiguousarray(sorted_keys, dtype=np.int64)
+    q = np.ascontiguousarray(queries, dtype=np.int64).reshape(-1)
+    lib = _load()
+    if lib is None or len(q) < (1 << 15):
+        return np.searchsorted(sorted_keys, queries)
+    out = np.empty(len(q), dtype=np.int64)
+    lib.cgmg_searchsorted(sorted_keys, len(sorted_keys), q, len(q), out)
+    return out.reshape(np.shape(queries))
+
+
+def lookup(sorted_keys: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """Positions of queries in sorted unique keys, -1 where absent."""
+    sorted_keys = np.ascontiguousarray(sorted_keys, dtype=np.int64)
+    q = np.ascontiguousarray(queries, dtype=np.int64).reshape(-1)
+    lib = _load()
+    if lib is None or len(q) < (1 << 15):
+        pos = np.searchsorted(sorted_keys, q)
+        pos = np.clip(pos, 0, max(len(sorted_keys) - 1, 0))
+        if len(sorted_keys) == 0:
+            return np.full(np.shape(queries), -1, dtype=np.int64)
+        hit = sorted_keys[pos] == q
+        return np.where(hit, pos, -1).reshape(np.shape(queries))
+    out = np.empty(len(q), dtype=np.int64)
+    lib.cgmg_lookup(sorted_keys, len(sorted_keys), q, len(q), out)
+    return out.reshape(np.shape(queries))
