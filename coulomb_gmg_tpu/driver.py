@@ -95,6 +95,16 @@ class Simulation:
                 self.tpu_device = dev
         except Exception:
             pass
+        if self.tpu_device is not None:
+            # Pin the DEFAULT device to host CPU: per-cycle topology-shaped
+            # jnp work (assembly, estimator, FE error) would otherwise hit
+            # the accelerator with a fresh remote compile every cycle.  Hot
+            # kernels opt in explicitly via device=self.tpu_device.
+            try:
+                jax.config.update("jax_default_device",
+                                  jax.devices("cpu")[0])
+            except Exception:
+                pass
         self.use_tpu_cg = (cfg.solver_backend == "tpu_cg" or
                            (cfg.solver_backend == "auto" and
                             self.tpu_device is not None and
@@ -146,23 +156,40 @@ class Simulation:
         f = self.forest
         with self.timer.scope("Setup system"):
             dofs = f.dofs
-        hot_device = self.tpu_device if self.use_tpu_cg else None
+        # workload-based placement: the accelerator pays a remote compile
+        # per fresh shape, so only genuinely large cell x atom interactions
+        # go there; small ones run on the host CPU backend in microseconds.
+        HOT_WORK = 2e9
+        n_atoms = self.atoms.n if self.lammpsinput else 0
+
+        def hot_device(work):
+            if self.use_tpu_cg and work >= HOT_WORK:
+                return self.tpu_device
+            return None
+
         if self.lammpsinput:
             if cfg.flag_rhs_assembly and self.mask is None:
                 with self.timer.scope("RHS assembly optimization"):
+                    work = f.n_cells * (2 ** cfg.dim) * n_atoms
                     self.mask = atom_masks(f, self.atoms.positions,
                                            cfg.nonzero_radius * cfg.r_c,
-                                           device=hot_device)
+                                           device=hot_device(work))
             with self.timer.scope("Compute charge densities"):
+                work = f.n_cells * len(self.tab_rhs.points) * n_atoms
                 self.rho = compute_density(
                     f, self.tab_rhs.points, self.atoms.positions,
                     self.atoms.charges, cfg.r_c,
                     mask=self.mask if cfg.flag_rhs_assembly else None,
                     dtype=np.float32 if self.use_tpu_cg else None,
-                    device=hot_device)
+                    device=hot_device(work))
             with self.timer.scope("Compute dipole moments"):
                 self.dipole = compute_dipole_moment(self.atoms.positions,
                                                     self.atoms.charges)
+                # quadrupole: integrated by quadrature, then explicitly
+                # zeroed — faithful to src/step-50.cc:595-624
+                self.quadrupole = P.quadrupole_from_forest(
+                    f, self.tab_rhs.points, self.tab_rhs.weights, self.rho)
+                self.quadrupole = np.zeros((cfg.dim, cfg.dim))
         else:
             # analytic RHS path (lammpsinput == 0)
             pts = cell_quad_points(f, self.tab_rhs.points)
@@ -233,16 +260,26 @@ class Simulation:
                 x0 = jnp.asarray(self.solution, dtype=self.dtype)
             import jax
             if self.use_tpu_cg:
-                from coulomb_gmg_tpu.solver.tpu_cg import tpu_cg_solve
                 x0_np = None
                 if self.solution is not None and \
                         len(self.solution) == self.A.n_rows:
                     x0_np = self.solution
-                x, k, res0, resf = tpu_cg_solve(
-                    self.A.rowids, self.plan.pattern.indices,
-                    np.asarray(self.A.data), rhs_np, x0_np,
-                    rtol=cfg.cg_rtol, maxiter=cfg.cg_max_iters * 10,
-                    device=self.tpu_device, dtype=self.dtype)
+                if cfg.preconditioner == "GMG":
+                    from coulomb_gmg_tpu.solver.tpu_gmg import TpuGMG
+                    gmg_tpu = TpuGMG(
+                        self.gmg, self.A, self.forest,
+                        device=self.tpu_device, dtype=self.dtype,
+                        use_dst=(cfg.problem == "GaussianCharges"))
+                    x, k, res0, resf = gmg_tpu.solve(
+                        rhs_np, x0_np, rtol=cfg.cg_rtol,
+                        maxiter=cfg.cg_max_iters)
+                else:
+                    from coulomb_gmg_tpu.solver.tpu_cg import tpu_cg_solve
+                    x, k, res0, resf = tpu_cg_solve(
+                        self.A.rowids, self.plan.pattern.indices,
+                        np.asarray(self.A.data), rhs_np, x0_np,
+                        rtol=cfg.cg_rtol, maxiter=cfg.cg_max_iters * 10,
+                        device=self.tpu_device, dtype=self.dtype)
                 pc("   Starting value " + fix10(res0))
                 pc(f"   CG converged in {k} iterations.")
                 pc("   Convergence value " + sci10(resf))
@@ -447,7 +484,7 @@ class Simulation:
             pc(f"   Number of degrees of freedom: {dofs.n_dofs} "
                f"(by level: {by_level})")
             self.assemble_system()
-            if cfg.preconditioner == "GMG" and not self.use_tpu_cg:
+            if cfg.preconditioner == "GMG":
                 self.assemble_multigrid()
             self.solve()
             self.estimate_and_mark()

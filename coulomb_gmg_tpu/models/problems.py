@@ -106,3 +106,42 @@ def nonzero_dbc(points, x0, dipole, quadrupole):
 def compute_dipole_moment(atom_positions, charges):
     """p0 = sum_k q_k X_k (src/step-50.cc:588-590)."""
     return np.asarray(atom_positions).T @ np.asarray(charges)
+
+
+def compute_quadrupole_moment(quad_points, jxw, rho):
+    """Q0 = integral rho(x) (3 x (x) x - |x|^2 I) dV by quadrature
+    (src/step-50.cc:595-623): ``quad_points`` (cells, q, dim), ``jxw``
+    (cells, q), ``rho`` (cells, q).  NOTE the reference explicitly zeroes
+    the result right after the MPI sum (src/step-50.cc:624), so callers
+    should do the same for golden parity — this function returns the
+    actual integral for completeness/testing."""
+    dim = np.asarray(quad_points).shape[-1]
+    x = np.asarray(quad_points).reshape(-1, dim)
+    w = (np.asarray(jxw) * np.asarray(rho)).reshape(-1)
+    # second moment S_ij = sum w x_i x_j as one (dim, N)@(N, dim) matmul;
+    # Q = 3 S - tr(S) I  (since sum w |x|^2 = tr S)
+    S = (x * w[:, None]).T @ x
+    return 3.0 * S - np.trace(S) * np.eye(dim)
+
+
+def quadrupole_from_forest(forest, points_ref, weights, rho,
+                           chunk: int = 65536):
+    """Quadrupole integral over the mesh without materializing all physical
+    quadrature points: chunked second-moment accumulation
+    (src/step-50.cc:595-623; the reference then zeroes the result, :624)."""
+    dim = forest.dim
+    lower = forest.cell_lower().astype(np.float32)
+    h = forest.cell_h().astype(np.float32)
+    pr = np.asarray(points_ref, np.float32)
+    wq = np.asarray(weights, np.float32)
+    rho = np.asarray(rho, np.float32)
+    n = forest.n_cells
+    S = np.zeros((dim, dim), np.float64)
+    wsum = 0.0
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        x = (lower[s:e, None, :] + h[s:e, None, None] * pr[None, :, :])
+        x = x.reshape(-1, dim)
+        w = ((h[s:e] ** dim)[:, None] * wq[None, :] * rho[s:e]).reshape(-1)
+        S += ((x * w[:, None]).T @ x).astype(np.float64)
+    return 3.0 * S - np.trace(S) * np.eye(dim)

@@ -1,0 +1,122 @@
+"""ELL (padded-row) sparse format and TPU SpMV kernels.
+
+The reference's hot SpMV lives inside Trilinos Epetra CRS (driven from
+``SolverCG``/``Multigrid``, src/step-50.cc:938-1017).  On TPU a CSR
+scatter-add matvec is hostile (serialized scatters); ELL turns SpMV into a
+*gather-only* computation — every row gets exactly K slots, padding slots
+carry value 0 and column 0 — so
+
+    y[i] = sum_k vals[i, k] * x[cols[i, k]]
+
+is a dense (n, K) gather + multiply + row-reduce: pure VPU work with fully
+static shapes.  For a Q1 hex discretization K = 27 interior (more at hanging
+nodes), so the padding waste is small and bounded.
+
+Two execution paths:
+
+* :func:`ell_matvec` — plain jnp (XLA gather); works everywhere, good on TPU.
+* :func:`ell_matvec_pallas` — Pallas kernel, row-blocked, x held in VMEM;
+  gathers via one-dimensional ``jnp.take`` inside the kernel.  Used when the
+  vector fits VMEM (n <= ~1M f32) and the platform is TPU.
+
+Bucket padding (rows AND K to fixed buckets) keeps one compiled executable
+across adaptive cycles (mesh sizes change every cycle; see solver/tpu_cg.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class ELL:
+    """Host-built ELL matrix. ``cols``/``vals`` are (n_rows, K); padding
+    slots have ``vals == 0`` and ``cols == 0`` (gather-safe)."""
+
+    n_rows: int
+    n_cols: int
+    K: int
+    cols: np.ndarray   # (n_rows, K) int32
+    vals: np.ndarray   # (n_rows, K) float
+
+    @staticmethod
+    def from_coo(rowids, cols, data, n_rows: int, n_cols: int = None,
+                 pad_rows_to: int = None, pad_k_to: int = None) -> "ELL":
+        rowids = np.asarray(rowids)
+        cols = np.asarray(cols)
+        data = np.asarray(data)
+        order = np.argsort(rowids, kind="stable")
+        rowids, cols, data = rowids[order], cols[order], data[order]
+        counts = np.bincount(rowids, minlength=n_rows)
+        K = int(counts.max()) if len(counts) and counts.max() > 0 else 1
+        if pad_k_to is not None:
+            K = max(K, pad_k_to)
+        n_pad = n_rows if pad_rows_to is None else max(n_rows, pad_rows_to)
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        slot = np.arange(len(rowids)) - first[rowids]
+        ecols = np.zeros((n_pad, K), dtype=np.int32)
+        evals = np.zeros((n_pad, K), dtype=data.dtype)
+        ecols[rowids, slot] = cols
+        evals[rowids, slot] = data
+        return ELL(n_rows=n_pad, n_cols=n_cols or n_rows, K=K,
+                   cols=ecols, vals=evals)
+
+    @staticmethod
+    def from_csr(indptr, indices, data, n_cols: int = None, **kw) -> "ELL":
+        n_rows = len(indptr) - 1
+        rowids = np.repeat(np.arange(n_rows), np.diff(indptr))
+        return ELL.from_coo(rowids, indices, data, n_rows, n_cols, **kw)
+
+    def diagonal(self) -> np.ndarray:
+        rows = np.arange(self.n_rows)[:, None]
+        mask = (self.cols == rows) & (self.vals != 0)
+        return (self.vals * mask).sum(axis=1)
+
+
+def ell_matvec(cols, vals, x):
+    """y = A x, gather-only (XLA).  cols/vals (n, K), x (n,) -> y (n,)."""
+    return jnp.sum(vals * x[cols], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: row-blocked ELL SpMV with x resident in VMEM.
+# ---------------------------------------------------------------------------
+
+def _ell_kernel(x_ref, cols_ref, vals_ref, y_ref):
+    xb = x_ref[:]                                   # (n,) full vector, VMEM
+    cols = cols_ref[:]                              # (R, K)
+    vals = vals_ref[:]                              # (R, K)
+    gathered = jnp.take(xb, cols, axis=0)           # (R, K)
+    y_ref[:] = jnp.sum(vals * gathered, axis=1)
+
+
+def ell_matvec_pallas(cols, vals, x, block_rows: int = 1024,
+                      interpret: bool = False):
+    """Pallas row-blocked ELL SpMV.  Requires n_rows % block_rows == 0
+    (use bucket padding).  x is broadcast to every program in VMEM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, K = cols.shape
+    assert n % block_rows == 0, (n, block_rows)
+    grid = (n // block_rows,)
+    return pl.pallas_call(
+        _ell_kernel,
+        out_shape=jax.ShapeDtypeStruct((n,), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # x: full, replicated
+            pl.BlockSpec((block_rows, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, cols, vals)

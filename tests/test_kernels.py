@@ -1,0 +1,70 @@
+"""Unit tests for the TPU hot-path kernels (ELL SpMV, Pallas density).
+
+Run on CPU; Pallas kernels in interpret mode.  The reference's analogous
+coverage is the A/B RHS-norm comparison in
+tests/test_with_optimal_parameters.cc:196-227 (optimized vs brute force).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+def _random_csr(n, density, seed=0):
+    rng = np.random.default_rng(seed)
+    import scipy.sparse as sp
+    A = (sp.random(n, n, density=density, random_state=seed, format="csr")
+         + sp.eye(n))
+    return A.tocsr()
+
+
+def test_ell_matches_scipy():
+    from coulomb_gmg_tpu.ops.ell import ELL, ell_matvec
+    A = _random_csr(513, 0.02)
+    e = ELL.from_csr(A.indptr, A.indices, A.data)
+    x = np.random.default_rng(1).standard_normal(513)
+    y = np.asarray(ell_matvec(jnp.asarray(e.cols), jnp.asarray(e.vals),
+                              jnp.asarray(x)))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-12)
+    np.testing.assert_allclose(e.diagonal(), A.diagonal(), rtol=1e-12)
+
+
+def test_ell_row_padding_and_bucket():
+    from coulomb_gmg_tpu.ops.ell import ELL, ell_matvec
+    A = _random_csr(100, 0.05, seed=2)
+    e = ELL.from_csr(A.indptr, A.indices, A.data, pad_rows_to=128,
+                     pad_k_to=32)
+    assert e.n_rows == 128 and e.K == 32
+    x = np.random.default_rng(2).standard_normal(128)
+    y = np.asarray(ell_matvec(jnp.asarray(e.cols), jnp.asarray(e.vals),
+                              jnp.asarray(x)))
+    np.testing.assert_allclose(y[:100], A @ x[:100], rtol=1e-12)
+    np.testing.assert_allclose(y[100:], 0.0)
+
+
+def test_ell_pallas_interpret_matches():
+    from coulomb_gmg_tpu.ops.ell import ELL, ell_matvec_pallas
+    A = _random_csr(512, 0.02, seed=3)
+    e = ELL.from_csr(A.indptr, A.indices, A.data.astype(np.float32))
+    x = np.random.default_rng(3).standard_normal(512).astype(np.float32)
+    y = np.asarray(ell_matvec_pallas(jnp.asarray(e.cols),
+                                     jnp.asarray(e.vals), jnp.asarray(x),
+                                     block_rows=128, interpret=True))
+    np.testing.assert_allclose(y, (A @ x).astype(np.float32), rtol=2e-5,
+                               atol=1e-5)
+
+
+def test_pallas_density_matches_reference_formula():
+    from coulomb_gmg_tpu.ops.pallas_density import density_pallas
+    from coulomb_gmg_tpu.models.problems import charge_density
+    rng = np.random.default_rng(4)
+    P, A = 300, 33
+    pts = rng.uniform(-2, 2, (P, 3))
+    pos = rng.uniform(-1, 1, (A, 3))
+    q = rng.choice([-1.0, 1.0], A)
+    r_c = 0.5
+    ref = np.asarray(charge_density(jnp.asarray(pts), jnp.asarray(pos),
+                                    jnp.asarray(q), r_c))
+    got = np.asarray(density_pallas(pts, pos, q, r_c, p_tile=128,
+                                    a_tile=128, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=1e-5)
