@@ -73,7 +73,8 @@ class Simulation:
 
         self.forest: Forest = None
         self.solution: np.ndarray = None
-        self.mask = None           # (cells, atoms) locality mask
+        self.mask = None           # (cells, atoms) locality mask (small N)
+        self.lists = None          # (cells, K) padded atom lists (large N)
         self.error_per_cell = None
         self.tab_lap = element_tables(cfg.dim, cfg.degree, cfg.degree + 1)
         self.tab_rhs = element_tables(cfg.dim, cfg.degree,
@@ -167,8 +168,19 @@ class Simulation:
                 return self.tpu_device
             return None
 
+        # large atom counts use O(N) spatial-hash neighbor LISTS (the
+        # reference's dominant cost recast, ops/neighbors.py); small counts
+        # keep the dense (cells, atoms) mask (simpler, supports the
+        # per-atom VTU support fields).
+        use_lists = n_atoms > 64
         if self.lammpsinput:
-            if cfg.flag_rhs_assembly and self.mask is None:
+            if cfg.flag_rhs_assembly and use_lists and self.lists is None:
+                with self.timer.scope("RHS assembly optimization"):
+                    from coulomb_gmg_tpu.ops.neighbors import atom_lists
+                    self.lists, _ = atom_lists(
+                        f, self.atoms.positions,
+                        cfg.nonzero_radius * cfg.r_c)
+            if cfg.flag_rhs_assembly and not use_lists and self.mask is None:
                 with self.timer.scope("RHS assembly optimization"):
                     work = f.n_cells * (2 ** cfg.dim) * n_atoms
                     self.mask = atom_masks(f, self.atoms.positions,
@@ -180,6 +192,7 @@ class Simulation:
                     f, self.tab_rhs.points, self.atoms.positions,
                     self.atoms.charges, cfg.r_c,
                     mask=self.mask if cfg.flag_rhs_assembly else None,
+                    lists=self.lists if cfg.flag_rhs_assembly else None,
                     dtype=np.float32 if self.use_tpu_cg else None,
                     device=hot_device(work))
             with self.timer.scope("Compute dipole moments"):
@@ -265,7 +278,9 @@ class Simulation:
                         len(self.solution) == self.A.n_rows:
                     x0_np = self.solution
                 if cfg.preconditioner == "GMG":
+                    import time as _time
                     from coulomb_gmg_tpu.solver.tpu_gmg import TpuGMG
+                    _t0 = _time.time()
                     gmg_tpu = TpuGMG(
                         self.gmg, self.A, self.forest,
                         device=self.tpu_device, dtype=self.dtype,
@@ -273,6 +288,12 @@ class Simulation:
                     x, k, res0, resf = gmg_tpu.solve(
                         rhs_np, x0_np, rtol=cfg.cg_rtol,
                         maxiter=cfg.cg_max_iters)
+                    # elastic placement: if the tunneled accelerator is
+                    # stalling (shared-pool latency), demote subsequent
+                    # cycles to the host backend — same solver, same math.
+                    if (self.tpu_device is not None
+                            and _time.time() - _t0 > 60.0):
+                        self.tpu_device = None
                 else:
                     from coulomb_gmg_tpu.solver.tpu_cg import tpu_cg_solve
                     x, k, res0, resf = tpu_cg_solve(
@@ -364,7 +385,12 @@ class Simulation:
             old = self.forest
             new = old.refine(self.flags)
             if self.lammpsinput and cfg.flag_rhs_assembly:
-                self.mask = transfer_cell_mask(old, new, self.mask)
+                if self.mask is not None:
+                    self.mask = transfer_cell_mask(old, new, self.mask)
+                if self.lists is not None:
+                    # children inherit the parent's padded atom list — the
+                    # p4est attach/unpack semantics (src/step-50.cc:441-456)
+                    self.lists = transfer_cell_mask(old, new, self.lists)
             u_new = transfer_solution(old, new, self.solution)
             self.forest = new
             self.solution = u_new
@@ -483,6 +509,13 @@ class Simulation:
             by_level = ", ".join(str(ld.n_dofs) for ld in dofs.levels)
             pc(f"   Number of degrees of freedom: {dofs.n_dofs} "
                f"(by level: {by_level})")
+            if cfg.dim == 2 and cfg.write_vtu:
+                # gnuplot grid debug is 2D-only in the reference
+                # (src/step-50.cc:1542-1543); gate on the same output switch
+                # as VTU so test runs stay file-free.
+                from coulomb_gmg_tpu.io.gnuplot import grid_output_debug
+                grid_output_debug(self.forest, self.mask, cycle, cfg.dim,
+                                  cfg.output_dir)
             self.assemble_system()
             if cfg.preconditioner == "GMG":
                 self.assemble_multigrid()

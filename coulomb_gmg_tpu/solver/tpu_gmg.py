@@ -135,8 +135,87 @@ def _dot(a, b):
 
 
 @jax.jit
+def _cg_update(ecols, evals, x, r, p, rho):
+    """One fused CG half-step: q = A p, alpha, x/r updates, new |r|^2.
+    No eager scalar ops, no host syncs.  Division guards keep the iteration
+    STATIONARY after convergence — block-wise convergence checks mean a few
+    extra iterations run past the solution, which must not 0/0-poison x."""
+    q = jnp.sum(evals * p[ecols], axis=1)
+    denom = jnp.vdot(p, q)
+    alpha = jnp.where(denom != 0, rho / jnp.where(denom != 0, denom, 1), 0.0)
+    x = x + alpha * p
+    r = r - alpha * q
+    return x, r, jnp.vdot(r, r)
+
+
+@jax.jit
+def _cg_direction(r, z, p, rho):
+    """rho_new = <r, z>; p = z + (rho_new/rho) p (guarded, see _cg_update)."""
+    rho_new = jnp.vdot(r, z)
+    beta = jnp.where(rho != 0, rho_new / jnp.where(rho != 0, rho, 1), 0.0)
+    return z + beta * p, rho_new
+
+
+@jax.jit
 def _norm2(a):
     return jnp.vdot(a, a)
+
+
+@partial(jax.jit, static_argnames=("size", "shape"))
+def _unpack(blob, start, size: int, shape):
+    """Device-side view into a shipped blob.  `start` is traced, so one
+    executable per (size, shape) bucket is reused across adaptive cycles."""
+    return jax.lax.dynamic_slice(blob, (start,), (size,)).reshape(shape)
+
+
+class _Packer:
+    """Batches many host arrays into ONE device transfer per dtype.
+
+    The tunneled accelerator moves one large buffer at wire speed but pays
+    a round trip per array on the lazy flush path — 60+ MB of per-level
+    operators shipped individually stalled the first solve for ~90 s.
+    Pack everything, ship two blobs, slice on device."""
+
+    def __init__(self, np_dtype):
+        self.np_dtype = np_dtype
+        self._bufs = {"f": [], "i": []}
+        self._meta = []          # (kind, offset, size, shape)
+        self._off = {"f": 0, "i": 0}
+
+    def add(self, a, kind: str):
+        a = np.asarray(a)
+        a = a.astype(self.np_dtype if kind == "f" else np.int32, copy=False)
+        flat = a.ravel()
+        h = (kind, self._off[kind], flat.size, a.shape)
+        self._bufs[kind].append(flat)
+        self._off[kind] += flat.size
+        self._meta.append(h)
+        return len(self._meta) - 1
+
+    def f(self, a):
+        return self.add(a, "f")
+
+    def i(self, a):
+        return self.add(a, "i")
+
+    def ship(self, device):
+        blobs = {}
+        for kind, bufs in self._bufs.items():
+            if not bufs:
+                continue
+            cat = np.concatenate(bufs)
+            # pow2-pad the blob so _unpack executables survive across
+            # adaptive cycles (blob length would otherwise change shape)
+            pad = _next_pow2(len(cat))
+            if pad != len(cat):
+                cat = np.concatenate(
+                    [cat, np.zeros(pad - len(cat), cat.dtype)])
+            blobs[kind] = (jax.device_put(cat, device) if device is not None
+                           else jnp.asarray(cat))
+        out = []
+        for kind, off, size, shape in self._meta:
+            out.append(_unpack(blobs[kind], off, size, shape))
+        return out
 
 
 @partial(jax.jit, static_argnames=("shape",))
@@ -254,22 +333,28 @@ class TpuGMG:
         put = (lambda a: jax.device_put(jnp.asarray(a), device)) \
             if device is not None else (lambda a: jnp.asarray(a))
         self._put = put
+        pk = _Packer(self.np_dtype)
+
+        # DST eligibility decided up front: level 0 is a full uniform box
+        # of base cells for both problem meshes; the separable direct solve
+        # applies when the coefficient is 1 on level 0.
+        have_dst = (use_dst and forest is not None and forest.base_reps >= 3)
 
         # ---- system matrix
         n = sys_csr.n_rows
         self.n = n
         self.n_pad = _next_pow2(n + 1)
         sc, sv = _to_ell(sys_csr, self.n_pad, self.np_dtype)
-        self.sys_cols, self.sys_vals = put(sc), put(sv)
+        h_sys = (pk.i(sc), pk.f(sv))
 
-        # ---- levels
-        self.levels: List[_Level] = []
+        # ---- levels (host side: ELL conversions + handles into the packer)
+        level_specs = []
         L = len(gmg.matrices)
+        from coulomb_gmg_tpu.ops.spmv import CSR as _CSR
         for l in range(L):
             A = gmg.matrices[l]
             nl = A.n_rows
             nl_pad = _next_pow2(nl + 1)
-            ec, ev = _to_ell(A, nl_pad, self.np_dtype)
             data = np.asarray(A.data, self.np_dtype)
             diag = np.zeros(nl_pad, self.np_dtype)
             sel = A.rowids == A.indices
@@ -277,91 +362,114 @@ class TpuGMG:
             diag[diag == 0] = 1.0
             inv_diag = (1.0 / diag).astype(self.np_dtype)
 
-            if l == 0 and use_dst:
-                lmax = 2.0    # level 0 uses the direct coarse solve only
+            if l == 0 and have_dst:
+                h_ell = None      # coarse matrix never applied on device
+                lmax = 2.0
             else:
+                ec, ev = _to_ell(A, nl_pad, self.np_dtype)
+                h_ell = (pk.i(ec), pk.f(ev))
                 lmax = _power_lmax(A.rowids, np.asarray(A.indices), data,
                                    inv_diag, nl) * 1.05
             lmin = lmax / smoothing_range
             theta = np.asarray(0.5 * (lmax + lmin), self.np_dtype)
             delta = np.asarray(0.5 * (lmax - lmin), self.np_dtype)
 
-            if_cols = if_vals = ifT_cols = ifT_vals = None
+            h_if = h_ifT = None
             I = gmg.interfaces[l]
             if I is not None:
                 ic, iv = _to_ell(I, nl_pad, self.np_dtype)
-                if_cols, if_vals = put(ic), put(iv)
+                h_if = (pk.i(ic), pk.f(iv))
                 tr, tc, tv = _transpose_coo(
                     I.rowids, np.asarray(I.indices),
                     np.asarray(I.data, self.np_dtype), nl)
-                from coulomb_gmg_tpu.ops.spmv import CSR as _CSR
                 indptr = np.zeros(nl + 1, dtype=np.int64)
                 np.add.at(indptr, tr + 1, 1)
                 np.cumsum(indptr, out=indptr)
                 tcsr = _CSR(n_rows=nl, n_cols=nl, indptr=indptr, indices=tc,
                             rowids=tr, data=tv)
                 itc, itv = _to_ell(tcsr, nl_pad, self.np_dtype)
-                ifT_cols, ifT_vals = put(itc), put(itv)
+                h_ifT = (pk.i(itc), pk.f(itv))
 
-            p_cols = p_vals = r_cols = r_vals = None
+            h_p = h_r = None
             P = gmg.prolongations[l]
             if P is not None:
                 nc = gmg.matrices[l - 1].n_rows
                 nc_pad = _next_pow2(nc + 1)
                 pc, pv = _to_ell(P, nl_pad, self.np_dtype)
-                p_cols, p_vals = put(pc), put(pv)
+                h_p = (pk.i(pc), pk.f(pv))
                 tr, tc, tv = _transpose_coo(
                     P.rowids, np.asarray(P.indices),
                     np.asarray(P.data, self.np_dtype), nc)
-                from coulomb_gmg_tpu.ops.spmv import CSR as _CSR
                 indptr = np.zeros(nc + 1, dtype=np.int64)
                 np.add.at(indptr, tr + 1, 1)
                 np.cumsum(indptr, out=indptr)
                 tcsr = _CSR(n_rows=nc, n_cols=nl, indptr=indptr, indices=tc,
                             rowids=tr, data=tv)
                 rc, rv = _to_ell(tcsr, nc_pad, self.np_dtype)
-                r_cols, r_vals = put(rc), put(rv)
+                h_r = (pk.i(rc), pk.f(rv))
 
-            self.levels.append(_Level(
-                n=nl, n_pad=nl_pad, ecols=put(ec), evals=put(ev),
-                inv_diag=put(inv_diag), theta=put(theta), delta=put(delta),
-                if_cols=if_cols, if_vals=if_vals,
-                ifT_cols=ifT_cols, ifT_vals=ifT_vals,
-                p_cols=p_cols, p_vals=p_vals, r_cols=r_cols, r_vals=r_vals,
-                cg_idx=put(_pad_idx(gmg.copy_global[l], self.n_pad - 1)),
-                cl_idx=put(_pad_idx(gmg.copy_level[l], nl_pad - 1)),
+            level_specs.append(dict(
+                n=nl, n_pad=nl_pad,
+                h_ell=h_ell, h_inv=pk.f(inv_diag),
+                h_theta=pk.f(theta), h_delta=pk.f(delta),
+                h_if=h_if, h_ifT=h_ifT, h_p=h_p, h_r=h_r,
+                h_cg=pk.i(_pad_idx(gmg.copy_global[l], self.n_pad - 1)),
+                h_cl=pk.i(_pad_idx(gmg.copy_level[l], nl_pad - 1)),
             ))
 
-        # ---- coarse solver
+        # ---- coarse solver (host precompute)
         self.dst = None
-        A0 = gmg.matrices[0]
-        if use_dst and forest is not None and forest.base_reps >= 3:
+        dst_handles = None
+        if have_dst:
             m0 = forest.base_reps
             d = DSTPoisson.build(forest.dim, m0, float(forest.h(0)),
                                  self.np_dtype)
-            # interior/boundary index maps on the sorted level-0 dof order
             nodes = m0 + 1
             coords = np.stack(np.meshgrid(*([np.arange(nodes)] * forest.dim),
                                           indexing="ij"), -1).reshape(-1,
                                                                       forest.dim)
             interior = (coords > 0).all(1) & (coords < m0).all(1)
-            n0_pad = self.levels[0].n_pad
-            self.dst_interior = put(np.where(interior)[0])
+            n0_pad = level_specs[0]["n_pad"]
             bnd = np.where(~interior)[0]
-            self.dst_boundary = put(_pad_idx(bnd, n0_pad - 1))
+            dst_handles = (pk.i(np.where(interior)[0]),
+                           pk.i(_pad_idx(bnd, n0_pad - 1)),
+                           pk.f(d.S), pk.f(d.lam))
             self.dst_shape = (m0 - 1,) * forest.dim
-            self.dst_S = put(d.S)
-            self.dst_lam = put(d.lam)
             self.dst = d
+
+        # ---- one transfer per dtype, then device-side views
+        views = pk.ship(device)
+
+        def v(h):
+            return views[h] if h is not None else None
+
+        def v2(h):
+            return (views[h[0]], views[h[1]]) if h is not None else (None,
+                                                                     None)
+
+        self.sys_cols, self.sys_vals = v2(h_sys)
+        self.levels = []
+        for sp in level_specs:
+            ec, ev = v2(sp["h_ell"])
+            ic, iv = v2(sp["h_if"])
+            itc, itv = v2(sp["h_ifT"])
+            pc, pv = v2(sp["h_p"])
+            rc, rv = v2(sp["h_r"])
+            self.levels.append(_Level(
+                n=sp["n"], n_pad=sp["n_pad"], ecols=ec, evals=ev,
+                inv_diag=v(sp["h_inv"]), theta=v(sp["h_theta"]),
+                delta=v(sp["h_delta"]), if_cols=ic, if_vals=iv,
+                ifT_cols=itc, ifT_vals=itv, p_cols=pc, p_vals=pv,
+                r_cols=rc, r_vals=rv, cg_idx=v(sp["h_cg"]),
+                cl_idx=v(sp["h_cl"])))
+        if dst_handles is not None:
+            self.dst_interior = views[dst_handles[0]]
+            self.dst_boundary = views[dst_handles[1]]
+            self.dst_S = views[dst_handles[2]]
+            self.dst_lam = views[dst_handles[3]]
         if self._debug:
             print(f"[tpu_gmg] init {time.time() - t_init:.2f}s "
                   f"(n={n}, levels={[lv.n for lv in self.levels]})",
-                  flush=True)
-            t_w = time.time()
-            jax.block_until_ready(self.sys_vals)
-            for lv in self.levels:
-                jax.block_until_ready(lv.evals)
-            print(f"[tpu_gmg] init transfers flushed {time.time() - t_w:.2f}s",
                   flush=True)
 
     # ------------------------------------------------------------- V-cycle
@@ -449,64 +557,46 @@ class TpuGMG:
         else:
             xj = self._put(np.zeros(self.n_pad, self.np_dtype))
             r = bj
-        if self._debug:
-            jax.block_until_ready(r)
-            print(f"[tpu_gmg] rhs+residual {time.time() - t_s:.2f}s",
-                  flush=True)
-            t_s = time.time()
-        res0 = float(np.sqrt(np.asarray(_norm2(r))))
+        # tol from the HOST-side rhs norm: no device round trip
         tol = max(rtol * float(np.linalg.norm(b)), abstol)
-        if res0 <= tol:
-            return np.asarray(xj)[: self.n], 0, res0, res0
-        if self._debug:
-            print(f"[tpu_gmg] pre-loop {time.time() - t_s:.2f}s", flush=True)
-            t_s = time.time()
+        tol2 = tol * tol
+        res2_hist = [_norm2(r)]          # device scalars, pulled per block
         z = self.vcycle(r)
         p = z
         rho = _dot(r, z)
         if self._debug:
-            jax.block_until_ready(p)
-            print(f"[tpu_gmg] first vcycle {time.time() - t_s:.2f}s",
-                  flush=True)
+            print(f"[tpu_gmg] setup+first vcycle queued "
+                  f"{time.time() - t_s:.2f}s", flush=True)
             t_s = time.time()
+
+        # Block-wise CG: run `block` iterations with ZERO host syncs, then
+        # pull that block's residual history in one round trip.  The
+        # tunneled device stalls tens of seconds on unlucky syncs, so round
+        # trips — not FLOPs — are the budget (GMG converges in <= ~8).
+        block = 4
         k = 0
-        res = res0
-        tol2 = tol * tol
-        pending = []      # (iter, res2 device scalar) with async D2H copy
         converged = False
-        while k < maxiter:
-            q = _mv(self.sys_cols, self.sys_vals, p)
-            alpha = rho / _dot(p, q)
-            xj = _axpy(alpha, p, xj)
-            r = _sub_scaled(r, alpha, q)
-            k += 1
-            res2 = _norm2(r)
-            try:
-                res2.copy_to_host_async()
-            except Exception:
-                pass
-            pending.append((k, res2))
-            # convergence check, one iteration delayed: reads the PREVIOUS
-            # iterate's residual so the device pipeline never stalls.
-            if len(pending) > 1:
-                ck, cres2 = pending.pop(0)
-                c = float(np.asarray(cres2))
-                if c <= tol2:
-                    res = float(np.sqrt(c))
-                    k = ck
+        res = None
+        while k < maxiter and not converged:
+            n_blk = min(block, maxiter - k)
+            for _ in range(n_blk):
+                xj, r, res2 = _cg_update(self.sys_cols, self.sys_vals,
+                                         xj, r, p, rho)
+                res2_hist.append(res2)
+                k += 1
+                z = self.vcycle(r)
+                p, rho = _cg_direction(r, z, p, rho)
+            vals = np.asarray(jnp.stack(res2_hist))    # ONE device pull
+            for i, v in enumerate(vals):
+                if v <= tol2:
+                    k = i
+                    res = float(np.sqrt(v))
                     converged = True
                     break
-            z = self.vcycle(r)
-            rho_new = _dot(r, z)
-            p = _xpay(z, rho_new / rho, p)
-            rho = rho_new
-        if not converged:
-            for ck, cres2 in pending:
-                c = float(np.asarray(cres2))
-                res = float(np.sqrt(c))
-                if c <= tol2:
-                    k = ck
-                    break
+            if not converged:
+                res = float(np.sqrt(vals[-1]))
+        res0 = float(np.sqrt(vals[0])) if len(res2_hist) > 1 else \
+            float(np.sqrt(float(np.asarray(res2_hist[0]))))
         if self._debug:
             print(f"[tpu_gmg] {k} iters {time.time() - t_s:.2f}s", flush=True)
         return np.asarray(xj)[: self.n], k, res0, res

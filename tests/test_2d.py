@@ -58,3 +58,24 @@ def empty_atom_data2d():
     from coulomb_gmg_tpu.io.lammps import AtomData
     return AtomData(np.zeros((0, 2)), np.zeros(0), np.zeros(0, np.int32),
                     np.zeros(2), np.zeros(2))
+
+
+def test_grid_output_debug_gnuplot(tmp_path):
+    """grid_output_debug analogue (src/step-50.cc:310-375): two .gp scripts
+    with cell outlines + atom-list / presence labels."""
+    import os
+    from coulomb_gmg_tpu.mesh.forest import Forest
+    from coulomb_gmg_tpu.io.gnuplot import grid_output_debug
+
+    f = Forest.uniform(2, 4, np.zeros(2), 0.25)
+    mask = np.zeros((f.n_cells, 3), dtype=bool)
+    mask[0, :2] = True
+    grid_output_debug(f, mask, cycle=1, dim=2, output_dir=str(tmp_path))
+    g1 = tmp_path / "grid2_p_cycle10.gp"
+    g2 = tmp_path / "grid_atom_presence2_p_cycle10.gp"
+    assert g1.exists() and g2.exists()
+    t1 = g1.read_text()
+    assert "set terminal png" in t1 and t1.count("e\n") >= 2
+    assert '"0, 1, "' in t1                   # atom list label of cell 0
+    t2 = g2.read_text()
+    assert '"1"' in t2 and '"0"' in t2        # presence flags

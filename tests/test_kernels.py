@@ -68,3 +68,47 @@ def test_pallas_density_matches_reference_formula():
     got = np.asarray(density_pallas(pts, pos, q, r_c, p_tile=128,
                                     a_tile=128, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=1e-5)
+
+
+def test_spatial_hash_lists_match_dense_mask():
+    """ops/neighbors.py must reproduce the dense vertex-criterion mask
+    (the A/B idiom of tests/test_with_optimal_parameters.cc:196-227)."""
+    from coulomb_gmg_tpu.mesh.forest import Forest
+    from coulomb_gmg_tpu.ops.density import atom_masks
+    from coulomb_gmg_tpu.ops.neighbors import atom_lists
+
+    rng = np.random.default_rng(7)
+    f = Forest.uniform(3, 6, np.zeros(3), 0.5)
+    # refine a couple of cells so h varies
+    flags = np.zeros(f.n_cells, dtype=bool)
+    flags[[3, 40, 100]] = True
+    f = f.refine(flags)
+    pos = rng.uniform(-0.5, 3.5, (150, 3))
+    cutoff = 0.8
+
+    mask = atom_masks(f, pos, cutoff)
+    lists, counts = atom_lists(f, pos, cutoff)
+    assert (counts == mask.sum(axis=1)).all()
+    for c in range(f.n_cells):
+        got = set(lists[c][lists[c] >= 0].tolist())
+        want = set(np.where(mask[c])[0].tolist())
+        assert got == want, c
+
+
+def test_density_from_lists_matches_dense():
+    from coulomb_gmg_tpu.mesh.forest import Forest
+    from coulomb_gmg_tpu.ops.density import (atom_masks, compute_density)
+    from coulomb_gmg_tpu.ops.neighbors import atom_lists
+    from coulomb_gmg_tpu.ops.q1 import element_tables
+
+    rng = np.random.default_rng(8)
+    f = Forest.uniform(3, 5, np.zeros(3), 0.4)
+    pos = rng.uniform(0.2, 1.8, (80, 3))
+    q = rng.choice([-1.0, 1.0], 80)
+    r_c, cutoff = 0.3, 0.9
+    tab = element_tables(3, 1, 3)
+    mask = atom_masks(f, pos, cutoff)
+    lists, _ = atom_lists(f, pos, cutoff)
+    rho_m = compute_density(f, tab.points, pos, q, r_c, mask=mask)
+    rho_l = compute_density(f, tab.points, pos, q, r_c, lists=lists)
+    np.testing.assert_allclose(rho_l, rho_m, rtol=1e-10, atol=1e-12)
