@@ -93,6 +93,8 @@ def _ragged_cross(offsets: np.ndarray):
     """For segments [offsets[c], offsets[c+1]), return index arrays (a, b)
     enumerating the cartesian product within each segment."""
     counts = np.diff(offsets)
+    if len(counts) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
     sq = counts * counts
     total = int(sq.sum())
     seg_of = np.repeat(np.arange(len(counts)), sq)
@@ -110,6 +112,48 @@ def build_plan(cell2dof: np.ndarray, constraints: Constraints) -> AssemblyPlan:
     n = constraints.n_dofs
     crow = constraints.row_of(cell2dof.reshape(-1)).reshape(n_cells, n_basis)
     is_con = crow >= 0
+
+    # Fast path: cells without any constrained dof have the identity
+    # expansion — their (i, j) cross product is a fixed nb x nb pattern.
+    # In practice that is the vast majority of cells (constraints live at
+    # hanging nodes + boundary), and the ragged machinery below costs ~10x
+    # more per cell.
+    clean = ~is_con.any(axis=1)
+    if clean.any() and (~clean).sum() < n_cells:
+        dirty_idx = np.where(~clean)[0]
+        clean_idx = np.where(clean)[0]
+        sub = build_plan(cell2dof[dirty_idx], constraints)
+        # rebuild in the FULL cell numbering
+        nb2 = n_basis * n_basis
+        ii = np.repeat(np.arange(n_basis), n_basis)
+        jj = np.tile(np.arange(n_basis), n_basis)
+        c_cell = np.repeat(clean_idx, nb2)
+        c_i = np.tile(ii, len(clean_idx))
+        c_j = np.tile(jj, len(clean_idx))
+        c_row = cell2dof[clean_idx][:, ii].reshape(-1)
+        c_col = cell2dof[clean_idx][:, jj].reshape(-1)
+
+        m_cell = np.concatenate([c_cell, dirty_idx[sub.m_cell]])
+        m_i = np.concatenate([c_i, sub.m_i])
+        m_j = np.concatenate([c_j, sub.m_j])
+        m_w = np.concatenate([np.ones(len(c_cell)), sub.m_w])
+        m_row = np.concatenate([c_row, _plan_rows(sub)])
+        m_col = np.concatenate([c_col, _plan_cols(sub)])
+        d_cell = dirty_idx[sub.d_cell]
+        d_i = sub.d_i
+        d_dof = sub.d_dof
+        d_g = sub.d_g
+        r_cell = np.concatenate([np.repeat(clean_idx, n_basis),
+                                 dirty_idx[sub.r_cell]])
+        r_i = np.concatenate([np.tile(np.arange(n_basis), len(clean_idx)),
+                              sub.r_i])
+        r_w = np.concatenate([np.ones(len(clean_idx) * n_basis), sub.r_w])
+        r_dof = np.concatenate([cell2dof[clean_idx].reshape(-1), sub.r_dof])
+        g_local = np.zeros((n_cells, n_basis))
+        g_local[dirty_idx] = sub.g_local
+        return _finish_plan(n, n_cells, n_basis, m_cell, m_i, m_j, m_w,
+                            m_row, m_col, d_cell, d_i, d_dof, d_g,
+                            r_cell, r_i, r_w, r_dof, g_local)
 
     # --- per (cell, local) expansion entries (dof, weight)
     # unconstrained: itself with weight 1; constrained: resolved entries.
@@ -170,7 +214,30 @@ def build_plan(cell2dof: np.ndarray, constraints: Constraints) -> AssemblyPlan:
     d_dof = flat_dof[d_sel]
     d_g = constraints.inhomog[flat_crow[d_sel]]
 
-    # --- sparsity pattern from all (row, col) incl. constrained diagonal
+    # --- local inhomogeneity for the lift
+    g_local = np.zeros((n_cells, n_basis))
+    g_local.reshape(-1)[d_sel] = d_g
+
+    return _finish_plan(n, n_cells, n_basis, m_cell, m_i, m_j, m_w,
+                        m_row, m_col, d_cell, d_i, d_dof, d_g,
+                        exp_cell, exp_i, exp_w, exp_dof, g_local)
+
+
+def _plan_rows(plan: AssemblyPlan) -> np.ndarray:
+    """Recover global row ids of the plan's matrix entries."""
+    rows_of_pos = np.repeat(np.arange(plan.pattern.n_rows),
+                            np.diff(plan.pattern.indptr))
+    return rows_of_pos[plan.m_pos]
+
+
+def _plan_cols(plan: AssemblyPlan) -> np.ndarray:
+    return plan.pattern.indices[plan.m_pos]
+
+
+def _finish_plan(n, n_cells, n_basis, m_cell, m_i, m_j, m_w, m_row, m_col,
+                 d_cell, d_i, d_dof, d_g, r_cell, r_i, r_w, r_dof,
+                 g_local) -> AssemblyPlan:
+    """Shared tail: sparsity pattern + scatter positions from raw entries."""
     from coulomb_gmg_tpu.utils import native
     m_key = m_row * np.int64(n) + m_col
     d_key = d_dof * np.int64(n) + d_dof
@@ -185,13 +252,6 @@ def build_plan(cell2dof: np.ndarray, constraints: Constraints) -> AssemblyPlan:
 
     m_pos = inverse[: len(m_key)]
     d_pos = inverse[len(m_key):]
-
-    # --- rhs scatter (same expansion, vector form)
-    r_cell, r_i, r_w, r_dof = exp_cell, exp_i, exp_w, exp_dof
-
-    # --- local inhomogeneity for the lift
-    g_local = np.zeros((n_cells, n_basis))
-    g_local.reshape(-1)[d_sel] = d_g
 
     return AssemblyPlan(pattern=pattern, n_cells=n_cells, n_basis=n_basis,
                         m_cell=m_cell, m_i=m_i, m_j=m_j, m_w=m_w, m_pos=m_pos,

@@ -137,16 +137,18 @@ def compute_density(forest: Forest, points_ref: np.ndarray, positions,
     q = put(charges)
     chunk = min(chunk, max(n_cells, 1))
 
-    lower = forest.cell_lower()
-    h = forest.cell_h()
+    pt_dtype = dtype if dtype is not None else np.float64
+    lower = forest.cell_lower().astype(pt_dtype)
+    h = forest.cell_h().astype(pt_dtype)
+    pref = np.asarray(points_ref, pt_dtype)
     n_pad = ((n_cells + chunk - 1) // chunk) * chunk
-    lower_p = np.zeros((n_pad, dim)); lower_p[:n_cells] = lower
-    h_p = np.ones(n_pad); h_p[:n_cells] = h
+    lower_p = np.zeros((n_pad, dim), pt_dtype); lower_p[:n_cells] = lower
+    h_p = np.ones(n_pad, pt_dtype); h_p[:n_cells] = h
 
     outs = []
     for s in range(0, n_pad, chunk):
         pts = (lower_p[s:s + chunk, None, :]
-               + h_p[s:s + chunk, None, None] * points_ref[None, :, :])
+               + h_p[s:s + chunk, None, None] * pref[None, :, :])
         pts = put(pts)
         if lists is not None:
             li = np.full((chunk, lists.shape[1]), -1, dtype=np.int32)
