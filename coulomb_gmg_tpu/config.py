@@ -80,6 +80,9 @@ class Config:
     solver_backend: str = "auto"         # auto | gmg | tpu_cg (bucketed TPU kernel)
     output_dir: str = "."
     write_vtu: bool = False
+    # checkpoint/resume (a capability the reference lacks, SURVEY 5.4):
+    checkpoint_dir: str = ""     # save a resumable snapshot per cycle
+    resume_from: str = ""        # path of a snapshot to resume after
     n_devices: int = 1                   # size of the 1-D device mesh for sharded solves
 
     def __post_init__(self) -> None:

@@ -187,6 +187,8 @@ class Simulation:
                                            cfg.nonzero_radius * cfg.r_c,
                                            device=hot_device(work))
             with self.timer.scope("Compute charge densities"):
+                import time as _time
+                _t0 = _time.time()
                 work = f.n_cells * len(self.tab_rhs.points) * n_atoms
                 self.rho = compute_density(
                     f, self.tab_rhs.points, self.atoms.positions,
@@ -195,6 +197,12 @@ class Simulation:
                     lists=self.lists if cfg.flag_rhs_assembly else None,
                     dtype=np.float32 if self.use_tpu_cg else None,
                     device=hot_device(work))
+                # elastic placement (see solve): a stalling shared-pool
+                # accelerator demotes subsequent cycles to the host.
+                if (self.tpu_device is not None
+                        and hot_device(work) is not None
+                        and _time.time() - _t0 > 60.0):
+                    self.tpu_device = None
             with self.timer.scope("Compute dipole moments"):
                 self.dipole = compute_dipole_moment(self.atoms.positions,
                                                     self.atoms.charges)
@@ -496,7 +504,15 @@ class Simulation:
         cfg = self.cfg
         pc = self.pcout
 
-        for cycle in range(cfg.n_adaptive_cycles):
+        start_cycle = 0
+        if cfg.resume_from:
+            from coulomb_gmg_tpu.utils.checkpoint import load_checkpoint
+            (self.forest, self.solution, self.flags, self.mask,
+             self.lists, done) = load_checkpoint(cfg.resume_from)
+            start_cycle = done + 1
+            pc(f"Resuming after cycle {done} from {cfg.resume_from}")
+
+        for cycle in range(start_cycle, cfg.n_adaptive_cycles):
             pc(f"Cycle {cycle}:")
             if cycle == 0:
                 self.forest = self.make_initial_mesh()
@@ -538,6 +554,11 @@ class Simulation:
             if self.cfg.problem == "GaussianCharges" and self.lammpsinput:
                 cyc["energy_norm_error"] = self.postprocess_energy_norm()
             self.results.append(cyc)
+            if cfg.checkpoint_dir:
+                from coulomb_gmg_tpu.utils.checkpoint import save_checkpoint
+                save_checkpoint(os.path.join(
+                    cfg.checkpoint_dir, f"ckpt_cycle{cycle:03d}.npz"),
+                    self, cycle)
 
         if cfg.flag_output_time:
             self.timer.summary(pc)

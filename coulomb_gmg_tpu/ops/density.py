@@ -111,6 +111,22 @@ def density_from_lists(points, positions, charges, r_c: float, lists):
     return const * jnp.sum(jnp.exp(-r2 / (r_c * r_c)) * q[:, None, :], axis=-1)
 
 
+class _ForestView:
+    """Cell-subset view exposing the bits compute_density touches."""
+
+    def __init__(self, forest, cells):
+        self._f = forest
+        self._cells = cells
+        self.n_cells = len(cells)
+        self.dim = forest.dim
+
+    def cell_lower(self):
+        return self._f.cell_lower(self._cells)
+
+    def cell_h(self):
+        return self._f.cell_h(self._cells)
+
+
 def compute_density(forest: Forest, points_ref: np.ndarray, positions,
                     charges, r_c: float, mask=None, lists=None,
                     chunk: int = 32768, dtype=None, device=None) -> np.ndarray:
@@ -132,6 +148,25 @@ def compute_density(forest: Forest, points_ref: np.ndarray, positions,
             a = a.astype(dtype)
         return jax.device_put(a, device) if device is not None \
             else jnp.asarray(a)
+
+    # cells whose locality set is empty contribute exactly zero (the
+    # reference skips their atom loop the same way, src/step-50.cc:536-546);
+    # with vacuum-padded domains that is most of the mesh.
+    if lists is not None or mask is not None:
+        occupied = ((lists >= 0).any(axis=1) if lists is not None
+                    else mask.any(axis=1))
+        if not occupied.all():
+            act = np.where(occupied)[0]
+            sub = compute_density(
+                _ForestView(forest, act), points_ref, positions, charges,
+                r_c,
+                mask=mask[act] if mask is not None else None,
+                lists=lists[act] if lists is not None else None,
+                chunk=chunk, dtype=dtype, device=device)
+            out = np.zeros((n_cells, n_q),
+                           sub.dtype if hasattr(sub, "dtype") else np.float64)
+            out[act] = sub
+            return out
 
     pos = put(positions)
     q = put(charges)
