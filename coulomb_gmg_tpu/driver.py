@@ -245,6 +245,8 @@ class Simulation:
 
     def assemble_multigrid(self):
         cfg = self.cfg
+        if not hasattr(self, "_gmg_cache"):
+            self._gmg_cache = {}
         with self.timer.scope("Assemble Multigrid"):
             self.gmg = build_gmg(
                 self.forest, self.forest.dofs, self.tab_lap,
@@ -253,7 +255,7 @@ class Simulation:
                 smoother_steps=cfg.smoother_steps,
                 coarse_tol=cfg.coarse_tol,
                 coarse_maxiter=cfg.coarse_max_iters, dtype=self.dtype,
-                coarse_rtol=cfg.coarse_rtol)
+                coarse_rtol=cfg.coarse_rtol, cache=self._gmg_cache)
 
     # -------------------------------------------------------------- solve
 
@@ -430,9 +432,15 @@ class Simulation:
         if self.cfg.problem != "GaussianCharges" or not self.lammpsinput:
             return None
         with self.timer.scope("Postprocess FE error"):
+            work = self.forest.n_cells * len(self.tab_lap.points) * \
+                self.atoms.n
+            dev = self.tpu_device if (self.use_tpu_cg and work >= 2e9) \
+                else None
             err = energy_norm_error(self.forest, self.tab_lap, self.solution,
                                     self.atoms.positions, self.atoms.charges,
-                                    self.cfg.r_c)
+                                    self.cfg.r_c, device=dev,
+                                    dtype=np.float32 if dev is not None
+                                    else None)
         self.pcout("Error in FE solution in energy norm:  " + sci10(err))
         return err
 

@@ -55,17 +55,14 @@ def locate_cells(forest: Forest, points: np.ndarray) -> np.ndarray:
 
 def point_values(forest: Forest, u: np.ndarray, points: np.ndarray,
                  degree: int = 1) -> np.ndarray:
-    """FE field values at arbitrary points."""
+    """FE field values at arbitrary points (vectorized over points)."""
     cells = locate_cells(forest, points)
     lower = forest.cell_lower(cells)
     h = forest.cell_h(cells)
     t = (points - lower) / h[:, None]
-    out = np.zeros(len(points))
     ucell = np.asarray(u)[forest.dofs.cell2dof[cells]]
-    for i in range(len(points)):
-        phi = basis_at(forest.dim, degree, t[i:i + 1])[0][0]
-        out[i] = phi @ ucell[i]
-    return out
+    phi = np.asarray(basis_at(forest.dim, degree, t)[0])   # (n_pts, nb)
+    return np.sum(phi * ucell, axis=1)
 
 
 def electrostatic_energy(forest: Forest, u: np.ndarray, positions: np.ndarray,
@@ -91,19 +88,66 @@ def electrostatic_energy(forest: Forest, u: np.ndarray, positions: np.ndarray,
     }
 
 
-def energy_norm_error(forest: Forest, tables: ElementTables, u,
-                      positions, charges, r_c: float) -> float:
-    """sqrt( sum_c int ||grad u_h - grad u_exact||^2 dx ), laplace rule."""
-    from coulomb_gmg_tpu.ops.density import cell_quad_points
-    dim = forest.dim
-    h = jnp.asarray(forest.cell_h())
-    ucell = jnp.asarray(u)[forest.dofs.cell2dof]        # (c, nb)
-    dphi = jnp.asarray(tables.dphi)                     # (q, nb, d)
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("dim",))
+def _enorm_chunk(ucell, dphi, h, lower, pref, pos, q, r_c, w, valid,
+                 dim: int):
+    """Energy-norm error contribution of one fixed-size cell chunk.
+    The (chunk, n_q, atoms, dim) exact-gradient intermediate is what makes
+    the naive whole-mesh evaluation blow past memory (the single largest
+    cost of the 216-atom run: 220 s of 310 s); chunking bounds it and the
+    jit compiles once."""
     grad_h = jnp.einsum("cb,qbd->cqd", ucell, dphi) / h[:, None, None]
-    pts = jnp.asarray(cell_quad_points(forest, tables.points))
-    grad_ex = analytic_solution_gradient(
-        pts, jnp.asarray(positions), jnp.asarray(charges), r_c)
+    pts = lower[:, None, :] + h[:, None, None] * pref[None, :, :]
+    grad_ex = analytic_solution_gradient(pts, pos, q, r_c)
     diff2 = jnp.sum((grad_h - grad_ex) ** 2, axis=-1)   # (c, q)
-    w = jnp.asarray(tables.weights)
-    err = jnp.sum(jnp.sum(diff2 * w[None, :], axis=1) * h ** dim)
-    return float(jnp.sqrt(err))
+    return jnp.sum(jnp.sum(diff2 * w[None, :], axis=1) * h ** dim * valid)
+
+
+def energy_norm_error(forest: Forest, tables: ElementTables, u,
+                      positions, charges, r_c: float,
+                      chunk: int = 2048, device=None, dtype=None) -> float:
+    """sqrt( sum_c int ||grad u_h - grad u_exact||^2 dx ), laplace rule
+    (src/step-50.cc:1423-1461), chunked over cells.  With ``device``, the
+    distance-matrix work runs on the accelerator and partial sums
+    accumulate device-side (ONE final pull)."""
+    import jax as _j
+    dim = forest.dim
+    n = forest.n_cells
+    dt = dtype or np.float64
+
+    def put(a):
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.floating):
+            a = a.astype(dt)
+        return _j.device_put(a, device) if device is not None \
+            else jnp.asarray(a)
+
+    h = forest.cell_h()
+    lower = forest.cell_lower()
+    ucell = np.asarray(u)[forest.dofs.cell2dof]         # (c, nb)
+    dphi = put(tables.dphi)
+    pref = put(tables.points)
+    w = put(tables.weights)
+    pos = put(positions)
+    q = put(charges)
+
+    chunk = min(chunk, max(n, 1))
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    h_p = np.ones(n_pad); h_p[:n] = h
+    lo_p = np.zeros((n_pad, dim)); lo_p[:n] = lower
+    uc_p = np.zeros((n_pad,) + ucell.shape[1:]); uc_p[:n] = ucell
+    val_p = np.zeros(n_pad); val_p[:n] = 1.0
+
+    err = None
+    for s in range(0, n_pad, chunk):
+        e = _enorm_chunk(
+            put(uc_p[s:s + chunk]), dphi,
+            put(h_p[s:s + chunk]), put(lo_p[s:s + chunk]),
+            pref, pos, q, float(r_c), w, put(val_p[s:s + chunk]), dim=dim)
+        err = e if err is None else err + e
+    return float(np.sqrt(np.asarray(err)))

@@ -181,15 +181,30 @@ class GMGPreconditioner:
         return out
 
 
+def _level_signature(ld: LevelDofs) -> tuple:
+    """Cheap content key for level-operator caching: the level matrix,
+    interface matrix, and smoother depend only on the level MESH and its
+    constrained sets — not on which level cells are active.  Levels stop
+    changing once refinement moves past them, so operators are reused
+    across adaptive cycles."""
+    import hashlib
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(ld.keys))
+    h.update(np.ascontiguousarray(ld.interface))
+    return (ld.level, ld.n_dofs, len(ld.cell2dof), h.hexdigest())
+
+
 def build_gmg(forest: Forest, dofs: DofInfo, tables, coeff_fn=None,
               smoother: str = "ssor", smoother_damping: float = 0.5,
               smoother_steps: int = 2, coarse_tol: float = 1e-10,
               coarse_maxiter: int = 1000, dtype=jnp.float64,
               jacobi_damping: float = 0.6,
-              coarse_rtol: float = 0.0) -> GMGPreconditioner:
+              coarse_rtol: float = 0.0, cache: dict = None) -> GMGPreconditioner:
     """Assemble all levels and wire the V-cycle.
 
     coeff_fn: points (m, dim) -> coefficient, or None for unit coefficient.
+    cache: optional dict carried across adaptive cycles; unchanged levels
+    reuse their assembled matrices/smoothers/prolongations.
     """
     from coulomb_gmg_tpu.fem.integrals import stiffness_cells
     from coulomb_gmg_tpu.ops.density import cell_quad_points
@@ -197,46 +212,66 @@ def build_gmg(forest: Forest, dofs: DofInfo, tables, coeff_fn=None,
     matrices, interfaces, prolongs, smoothers = [], [], [], []
     copy_global, copy_level = [], []
     kidx_keys = dofs.keys
+    sigs = [_level_signature(ld) if cache is not None else None
+            for ld in dofs.levels]
 
     for l, ld in enumerate(dofs.levels):
         level_ijk, active_index = forest.level_cells[l]
-        h = forest.h(l) * np.ones(len(level_ijk))
-        coeff_q = None
-        if coeff_fn is not None:
-            lower = forest.lower + forest.h(l) * level_ijk
-            pts = lower[:, None, :] + forest.h(l) * tables.points[None, :, :]
-            coeff_q = coeff_fn(jnp.asarray(pts))
-        k_cells = stiffness_cells(tables, jnp.asarray(h), coeff_q, dtype=dtype)
-
-        plan_lvl = build_plan(ld.cell2dof, level_constraints(ld))
-        data, _ = assemble(plan_lvl, k_cells, None, dtype=dtype)
-        A = CSR.from_pattern(plan_lvl.pattern.indptr,
-                             plan_lvl.pattern.indices, data)
-        matrices.append(A)
-        if l > 0 and ld.interface.any():
-            plan_raw = build_plan(ld.cell2dof, _empty_constraints(ld.n_dofs))
-            interfaces.append(build_interface_csr(plan_raw, ld, k_cells,
-                                                  dtype=dtype))
+        # prolongation couples levels l-1 and l: cache on both signatures
+        ck = ("lvl", sigs[l], sigs[l - 1] if l > 0 else None) \
+            if cache is not None else None
+        if ck is not None and ck in cache:
+            A, iface, P, smth = cache[ck]
+            matrices.append(A)
+            interfaces.append(iface)
+            prolongs.append(P)
+            smoothers.append(smth)
         else:
-            interfaces.append(None)
-        prolongs.append(build_prolongation(forest, dofs, l) if l > 0 else None)
+            h = forest.h(l) * np.ones(len(level_ijk))
+            coeff_q = None
+            if coeff_fn is not None:
+                lower = forest.lower + forest.h(l) * level_ijk
+                pts = (lower[:, None, :]
+                       + forest.h(l) * tables.points[None, :, :])
+                coeff_q = coeff_fn(jnp.asarray(pts))
+            k_cells = stiffness_cells(tables, jnp.asarray(h), coeff_q,
+                                      dtype=dtype)
 
-        if l == 0:
-            smoothers.append(None)    # level 0 uses the coarse solver
-        else:
-            if smoother == "ssor":
-                pre = make_ssor_host(A, smoother_damping)
-            elif smoother == "mc_ssor":
-                pre = make_mc_ssor(A, lattice_color(forest, ld),
-                                   smoother_damping)
-            elif smoother == "chebyshev":
-                pre = make_chebyshev(A)
+            plan_lvl = build_plan(ld.cell2dof, level_constraints(ld))
+            data, _ = assemble(plan_lvl, k_cells, None, dtype=dtype)
+            A = CSR.from_pattern(plan_lvl.pattern.indptr,
+                                 plan_lvl.pattern.indices, data)
+            matrices.append(A)
+            if l > 0 and ld.interface.any():
+                plan_raw = build_plan(ld.cell2dof,
+                                      _empty_constraints(ld.n_dofs))
+                interfaces.append(build_interface_csr(plan_raw, ld, k_cells,
+                                                      dtype=dtype))
             else:
-                pre = make_jacobi(A, jacobi_damping)
-            smoothers.append(MGSmoother(A=A, precond=pre,
-                                        steps=smoother_steps))
+                interfaces.append(None)
+            prolongs.append(build_prolongation(forest, dofs, l)
+                            if l > 0 else None)
+
+            if l == 0:
+                smoothers.append(None)    # level 0 uses the coarse solver
+            else:
+                if smoother == "ssor":
+                    pre = make_ssor_host(A, smoother_damping)
+                elif smoother == "mc_ssor":
+                    pre = make_mc_ssor(A, lattice_color(forest, ld),
+                                       smoother_damping)
+                elif smoother == "chebyshev":
+                    pre = make_chebyshev(A)
+                else:
+                    pre = make_jacobi(A, jacobi_damping)
+                smoothers.append(MGSmoother(A=A, precond=pre,
+                                            steps=smoother_steps))
+            if ck is not None:
+                cache[ck] = (matrices[-1], interfaces[-1], prolongs[-1],
+                             smoothers[-1])
 
         # copy indices: dofs on ACTIVE level-l cells, minus refinement edge
+        # (depend on the active set — rebuilt every cycle, cheap)
         act = active_index >= 0
         ldofs = np.unique(ld.cell2dof[act])
         ldofs = ldofs[~ld.interface[ldofs]]
