@@ -27,7 +27,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map_raw
+except ImportError:   # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_raw
+
+
+def shard_map(f, **kw):
+    """API shim: jax.shard_map renamed check_rep -> check_vma."""
+    try:
+        return _shard_map_raw(f, **kw)
+    except TypeError:
+        if "check_rep" in kw:
+            kw = dict(kw)
+            kw["check_vma"] = kw.pop("check_rep")
+            return _shard_map_raw(f, **kw)
+        raise
 
 
 def round_up(x: int, m: int) -> int:

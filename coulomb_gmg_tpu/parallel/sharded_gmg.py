@@ -32,9 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
-
-from coulomb_gmg_tpu.parallel.sharded import round_up
+from coulomb_gmg_tpu.parallel.sharded import round_up, shard_map
 
 
 def _block_coo(rowids, cols, data, n_rows: int, n_dev: int, np_dtype):
