@@ -88,10 +88,13 @@ def ell_matvec(cols, vals, x):
 # ---------------------------------------------------------------------------
 
 def _ell_kernel(x_ref, cols_ref, vals_ref, y_ref):
-    xb = x_ref[:]                                   # (n,) full vector, VMEM
+    xb = x_ref[:]                                   # (n, 1) vector, VMEM
     cols = cols_ref[:]                              # (R, K)
     vals = vals_ref[:]                              # (R, K)
-    gathered = jnp.take(xb, cols, axis=0)           # (R, K)
+    # Mosaic supports gathers on 2-D operands only: keep x as (n, 1) and
+    # gather rows, then drop the unit axis.
+    gathered = jnp.take(xb, cols.reshape(-1), axis=0)   # (R*K, 1)
+    gathered = gathered.reshape(cols.shape)
     y_ref[:] = jnp.sum(vals * gathered, axis=1)
 
 
@@ -119,4 +122,4 @@ def ell_matvec_pallas(cols, vals, x, block_rows: int = 1024,
         out_specs=pl.BlockSpec((block_rows,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, cols, vals)
+    )(x.reshape(-1, 1), cols, vals)
