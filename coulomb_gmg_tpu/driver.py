@@ -189,7 +189,9 @@ class Simulation:
             with self.timer.scope("Compute charge densities"):
                 import time as _time
                 _t0 = _time.time()
-                work = f.n_cells * len(self.tab_rhs.points) * n_atoms
+                eff_atoms = (self.lists.shape[1] if self.lists is not None
+                             and cfg.flag_rhs_assembly else n_atoms)
+                work = f.n_cells * len(self.tab_rhs.points) * eff_atoms
                 self.rho = compute_density(
                     f, self.tab_rhs.points, self.atoms.positions,
                     self.atoms.charges, cfg.r_c,

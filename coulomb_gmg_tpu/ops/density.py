@@ -129,7 +129,8 @@ class _ForestView:
 
 def compute_density(forest: Forest, points_ref: np.ndarray, positions,
                     charges, r_c: float, mask=None, lists=None,
-                    chunk: int = 32768, dtype=None, device=None) -> np.ndarray:
+                    chunk: int = 32768, dtype=None, device=None,
+                    _group: bool = True) -> np.ndarray:
     """Per-cell-per-quad-point density (n_cells, n_q), chunked over cells to
     bound memory.  Chooses the list path when lists are given.
 
@@ -151,17 +152,34 @@ def compute_density(forest: Forest, points_ref: np.ndarray, positions,
 
     # cells whose locality set is empty contribute exactly zero (the
     # reference skips their atom loop the same way, src/step-50.cc:536-546);
-    # with vacuum-padded domains that is most of the mesh.
-    if lists is not None or mask is not None:
-        occupied = ((lists >= 0).any(axis=1) if lists is not None
-                    else mask.any(axis=1))
+    # with vacuum-padded domains that is most of the mesh.  Occupied cells
+    # are further grouped by list-length class (powers of two) so cells
+    # near the cloud edge don't pay the interior cells' padded width.
+    if lists is not None and _group:
+        counts = (lists >= 0).sum(axis=1)
+        out_dtype = np.float32 if dtype == np.float32 else np.float64
+        out = np.zeros((n_cells, n_q), out_dtype)
+        K_full = lists.shape[1]
+        kclass = 8
+        lo = 1
+        while lo <= K_full:
+            hi = min(kclass, K_full)
+            sel = np.where((counts >= lo) & (counts <= hi))[0]
+            if len(sel):
+                out[sel] = compute_density(
+                    _ForestView(forest, sel), points_ref, positions,
+                    charges, r_c, lists=lists[sel][:, :hi],
+                    chunk=chunk, dtype=dtype, device=device, _group=False)
+            lo = hi + 1
+            kclass *= 4
+        return out
+    elif mask is not None:
+        occupied = mask.any(axis=1)
         if not occupied.all():
             act = np.where(occupied)[0]
             sub = compute_density(
                 _ForestView(forest, act), points_ref, positions, charges,
-                r_c,
-                mask=mask[act] if mask is not None else None,
-                lists=lists[act] if lists is not None else None,
+                r_c, mask=mask[act],
                 chunk=chunk, dtype=dtype, device=device)
             out = np.zeros((n_cells, n_q),
                            sub.dtype if hasattr(sub, "dtype") else np.float64)
@@ -190,18 +208,21 @@ def compute_density(forest: Forest, points_ref: np.ndarray, positions,
             e = min(s + chunk, n_cells)
             if e > s:
                 li[: e - s] = lists[s:e]
-            outs.append(np.asarray(
-                _density_lists_jit(pts, pos, q, r_c, put(li))))
+            outs.append(_density_lists_jit(pts, pos, q, r_c, put(li)))
         elif mask is not None:
             mk = np.zeros((chunk, mask.shape[1]), dtype=bool)
             e = min(s + chunk, n_cells)
             if e > s:
                 mk[: e - s] = mask[s:e]
-            outs.append(np.asarray(
-                _density_dense_jit(pts, pos, q, r_c, put(mk))))
+            outs.append(_density_dense_jit(pts, pos, q, r_c, put(mk)))
         else:
-            outs.append(np.asarray(_density_all_jit(pts, pos, q, r_c)))
-    return np.concatenate(outs, axis=0)[:n_cells]
+            outs.append(_density_all_jit(pts, pos, q, r_c))
+        # start the device->host copy while later chunks still compute
+        try:
+            outs[-1].copy_to_host_async()
+        except Exception:
+            pass
+    return np.concatenate([np.asarray(o) for o in outs], axis=0)[:n_cells]
 
 
 from functools import partial as _partial

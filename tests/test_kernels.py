@@ -112,3 +112,47 @@ def test_density_from_lists_matches_dense():
     rho_m = compute_density(f, tab.points, pos, q, r_c, mask=mask)
     rho_l = compute_density(f, tab.points, pos, q, r_c, lists=lists)
     np.testing.assert_allclose(rho_l, rho_m, rtol=1e-10, atol=1e-12)
+
+
+def test_dst_coarse_solver_exact():
+    """ops/dst.py must solve the assembled level-0 Q1 Laplacian exactly
+    (it replaces MGCoarseGridIterativeSolver, src/step-50.cc:962-967)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from coulomb_gmg_tpu.mesh.forest import Forest
+    from coulomb_gmg_tpu.fem.assembly import build_plan, assemble
+    from coulomb_gmg_tpu.fem.integrals import stiffness_cells
+    from coulomb_gmg_tpu.ops.q1 import element_tables
+    from coulomb_gmg_tpu.ops.dst import DSTPoisson
+    from coulomb_gmg_tpu.solver.multigrid import level_constraints
+
+    m = 6
+    f = Forest.uniform(3, m, np.zeros(3), 1.0 / m)
+    dofs = f.dofs
+    ld = dofs.levels[0]
+    tab = element_tables(3, 1, 2)
+    plan = build_plan(ld.cell2dof, level_constraints(ld))
+    k = stiffness_cells(tab, jnp.asarray(f.cell_h()), dtype=jnp.float64)
+    data, _ = assemble(plan, k, None, dtype=jnp.float64)
+
+    import scipy.sparse as sp
+    A = sp.csr_matrix((np.asarray(data), plan.pattern.indices,
+                       plan.pattern.indptr))
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal(ld.n_dofs)
+
+    # reference solve
+    import scipy.sparse.linalg as spla
+    x_ref = spla.spsolve(A.tocsc(), b)
+
+    # DST solve: interior exactly + boundary rows via their diagonal
+    d = DSTPoisson.build(3, m, 1.0 / m, np.float64)
+    coords = np.stack(np.meshgrid(*([np.arange(m + 1)] * 3),
+                                  indexing="ij"), -1).reshape(-1, 3)
+    interior = (coords > 0).all(1) & (coords < m).all(1)
+    u = np.zeros(ld.n_dofs)
+    u[interior] = np.asarray(
+        d.solve(b[interior].reshape((m - 1,) * 3))).reshape(-1)
+    diag = A.diagonal()
+    u[~interior] = b[~interior] / diag[~interior]
+    np.testing.assert_allclose(u, x_ref, rtol=1e-9, atol=1e-11)
