@@ -146,11 +146,14 @@ def estimate(forest: Forest, cell2dof: np.ndarray, u, rho_q,
     plan = build_face_plan(forest)
     grads, fweights, sub_grads = _face_grad_tables(dim, degree, n_q1)
 
-    u = jnp.asarray(u)
+    # host numpy throughout: per-cycle shapes are fresh every adaptive
+    # cycle, so eager XLA would recompile each primitive per cycle.
+    u = np.asarray(u, np.float64)
     ucell = u[cell2dof]                            # (n_cells, nb)
     h = forest.cell_h()
     diam = h * np.sqrt(dim)
-    eta2 = jnp.zeros(forest.n_cells)
+    n_cells = forest.n_cells
+    eta2 = np.zeros(n_cells)
 
     # ---- same-level faces
     if len(plan.sl_a):
@@ -160,17 +163,17 @@ def estimate(forest: Forest, cell2dof: np.ndarray, u, rho_q,
                 continue
             a, b = plan.sl_a[sel], plan.sl_b[sel]
             f_hi, f_lo = 2 * axis + 1, 2 * axis
-            Ga = jnp.asarray(grads[f_hi][:, :, axis])  # (n_fq, nb)
-            Gb = jnp.asarray(grads[f_lo][:, :, axis])
-            w = jnp.asarray(fweights[f_hi])
-            ha = jnp.asarray(h[a])
+            Ga = np.asarray(grads[f_hi][:, :, axis])  # (n_fq, nb)
+            Gb = np.asarray(grads[f_lo][:, :, axis])
+            w = np.asarray(fweights[f_hi])
+            ha = h[a]
             # normal gradients (reference grad / h); same h both sides
             ga = (ucell[a] @ Ga.T) / ha[:, None]
             gb = (ucell[b] @ Gb.T) / ha[:, None]
-            jump2 = jnp.sum((ga - gb) ** 2 * w[None, :], axis=1)
+            jump2 = ((ga - gb) ** 2) @ w
             Jf = jump2 * ha ** (dim - 1)           # face integral
-            eta2 = eta2.at[a].add(jnp.asarray(diam[a]) * Jf)
-            eta2 = eta2.at[b].add(jnp.asarray(diam[b]) * Jf)
+            eta2 += np.bincount(a, weights=diam[a] * Jf, minlength=n_cells)
+            eta2 += np.bincount(b, weights=diam[b] * Jf, minlength=n_cells)
 
     # ---- coarse-fine faces (integrate per fine subface)
     if len(plan.cf_fine):
@@ -184,27 +187,29 @@ def estimate(forest: Forest, cell2dof: np.ndarray, u, rho_q,
                     fc = plan.cf_fine[sel]
                     cc = plan.cf_coarse[sel]
                     f = 2 * axis + sidev
-                    Gf = jnp.asarray(grads[f][:, :, axis])
-                    Gc = jnp.asarray(sub_grads[(f, sub)][:, :, axis])
-                    w = jnp.asarray(fweights[f])
-                    hf = jnp.asarray(h[fc])
-                    hc = jnp.asarray(h[cc])
+                    Gf = np.asarray(grads[f][:, :, axis])
+                    Gc = np.asarray(sub_grads[(f, sub)][:, :, axis])
+                    w = np.asarray(fweights[f])
+                    hf = h[fc]
+                    hc = h[cc]
                     gf = (ucell[fc] @ Gf.T) / hf[:, None]
                     gc = (ucell[cc] @ Gc.T) / hc[:, None]
-                    jump2 = jnp.sum((gf - gc) ** 2 * w[None, :], axis=1)
+                    jump2 = ((gf - gc) ** 2) @ w
                     Jf = jump2 * hf ** (dim - 1)
-                    eta2 = eta2.at[fc].add(jnp.asarray(diam[fc]) * Jf)
-                    eta2 = eta2.at[cc].add(jnp.asarray(diam[cc]) * Jf)
+                    eta2 += np.bincount(fc, weights=diam[fc] * Jf,
+                                        minlength=n_cells)
+                    eta2 += np.bincount(cc, weights=diam[cc] * Jf,
+                                        minlength=n_cells)
 
     est2 = eta2
     if use_volume_term and rho_q is not None:
         # volume residual: (lap u_h + 4 pi rho~)^2; lap u_h == 0 for Q1
-        temp = 4.0 * np.pi * jnp.asarray(rho_q)
-        vol = jnp.sum(temp ** 2 * jnp.asarray(rhs_weights)[None, :], axis=1)
-        vol = vol * jnp.asarray(h) ** dim
-        est2 = est2 + jnp.asarray(diam) ** 2 * vol
+        temp = 4.0 * np.pi * np.asarray(rho_q, np.float64)
+        vol = (temp ** 2) @ np.asarray(rhs_weights)
+        vol = vol * h ** dim
+        est2 = est2 + diam ** 2 * vol
 
-    return np.sqrt(np.asarray(est2))
+    return np.sqrt(est2)
 
 
 def mark_cells(error: np.ndarray, fraction_of_max: float = 0.6):

@@ -55,6 +55,11 @@ class Config:
     flag_rhs_assembly: bool = False      # locality-optimized RHS assembly
     quadrature_degree_rhs: int = 1       # extra RHS quadrature points
     flag_output_time: bool = True
+    # The reference integrates the quadrupole by quadrature and then
+    # explicitly zeroes it (src/step-50.cc:595-624) — the result is dead.
+    # Off by default: behavior is identical (BCs are dipole-only either
+    # way); enable to reproduce the reference's (discarded) integral.
+    flag_compute_quadrupole: bool = False
 
     # --- Polynomial degree (src/step-50.cc:80)
     degree: int = 1

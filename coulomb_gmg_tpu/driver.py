@@ -24,7 +24,7 @@ from coulomb_gmg_tpu.config import Config
 from coulomb_gmg_tpu.io.lammps import AtomData, read_lammps_file, empty_atom_data
 from coulomb_gmg_tpu.mesh.forest import Forest
 from coulomb_gmg_tpu.fem.constraints import build_constraints, distribute, set_zero
-from coulomb_gmg_tpu.fem.assembly import build_plan, assemble
+from coulomb_gmg_tpu.fem.assembly import build_plan, assemble, assemble_np
 from coulomb_gmg_tpu.fem.integrals import stiffness_cells, rhs_cells
 from coulomb_gmg_tpu.ops.q1 import element_tables
 from coulomb_gmg_tpu.ops.density import (
@@ -208,10 +208,13 @@ class Simulation:
             with self.timer.scope("Compute dipole moments"):
                 self.dipole = compute_dipole_moment(self.atoms.positions,
                                                     self.atoms.charges)
-                # quadrupole: integrated by quadrature, then explicitly
-                # zeroed — faithful to src/step-50.cc:595-624
-                self.quadrupole = P.quadrupole_from_forest(
-                    f, self.tab_rhs.points, self.tab_rhs.weights, self.rho)
+                # quadrupole: the reference integrates it by quadrature and
+                # then explicitly zeroes it (src/step-50.cc:595-624), so the
+                # integral is dead work; skipped unless asked for.
+                if cfg.flag_compute_quadrupole:
+                    self.quadrupole = P.quadrupole_from_forest(
+                        f, self.tab_rhs.points, self.tab_rhs.weights,
+                        self.rho)
                 self.quadrupole = np.zeros((cfg.dim, cfg.dim))
         else:
             # analytic RHS path (lammpsinput == 0)
@@ -231,18 +234,25 @@ class Simulation:
         cfg = self.cfg
         f = self.forest
         with self.timer.scope("Assemble system"):
-            h = jnp.asarray(f.cell_h())
+            # host numpy path: per-cycle topology shapes are fresh every
+            # cycle, so eager XLA would pay a compile per primitive per
+            # cycle; see fem/assembly.py:assemble_np.
+            from coulomb_gmg_tpu.fem.integrals import (stiffness_cells_np,
+                                                       rhs_cells_np)
+            np_dtype = np.float32 if self.dtype == jnp.float32 else np.float64
+            h = f.cell_h()
             coeff_fn = self.coeff_fn()
             coeff_q = None
             if coeff_fn is not None:
                 pts = cell_quad_points(f, self.tab_lap.points)
-                coeff_q = coeff_fn(jnp.asarray(pts))
-            K = stiffness_cells(self.tab_lap, h, coeff_q, dtype=self.dtype)
-            Fv = rhs_cells(self.tab_rhs, h, jnp.asarray(self.rho),
-                           dtype=self.dtype)
-            data, rhs = assemble(self.plan, K, Fv, dtype=self.dtype)
+                coeff_q = np.asarray(coeff_fn(jnp.asarray(pts)))
+            K = stiffness_cells_np(self.tab_lap, h, coeff_q, dtype=np_dtype)
+            Fv = rhs_cells_np(self.tab_rhs, h, np.asarray(self.rho),
+                              dtype=np_dtype)
+            data, rhs = assemble_np(self.plan, K, Fv, dtype=np_dtype)
             self.A = CSR.from_pattern(self.plan.pattern.indptr,
-                                      self.plan.pattern.indices, data)
+                                      self.plan.pattern.indices,
+                                      jnp.asarray(data))
             self.rhs = rhs
 
     def assemble_multigrid(self):
@@ -250,9 +260,12 @@ class Simulation:
         if not hasattr(self, "_gmg_cache"):
             self._gmg_cache = {}
         with self.timer.scope("Assemble Multigrid"):
+            # the TpuGMG solve path builds its own (Chebyshev) smoothers
+            # from the level operators — skip host smoother construction
+            smoother = "none" if self.use_tpu_cg else cfg.smoother
             self.gmg = build_gmg(
                 self.forest, self.forest.dofs, self.tab_lap,
-                coeff_fn=self.coeff_fn(), smoother=cfg.smoother,
+                coeff_fn=self.coeff_fn(), smoother=smoother,
                 smoother_damping=cfg.smoother_damping,
                 smoother_steps=cfg.smoother_steps,
                 coarse_tol=cfg.coarse_tol,
@@ -293,10 +306,13 @@ class Simulation:
                     import time as _time
                     from coulomb_gmg_tpu.solver.tpu_gmg import TpuGMG
                     _t0 = _time.time()
+                    if not hasattr(self, "_tpu_host_cache"):
+                        self._tpu_host_cache = {}
                     gmg_tpu = TpuGMG(
                         self.gmg, self.A, self.forest,
                         device=self.tpu_device, dtype=self.dtype,
-                        use_dst=(cfg.problem == "GaussianCharges"))
+                        use_dst=(cfg.problem == "GaussianCharges"),
+                        host_cache=self._tpu_host_cache)
                     x, k, res0, resf = gmg_tpu.solve(
                         rhs_np, x0_np, rtol=cfg.cg_rtol,
                         maxiter=cfg.cg_max_iters)

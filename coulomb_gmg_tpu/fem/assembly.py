@@ -260,6 +260,39 @@ def _finish_plan(n, n_cells, n_basis, m_cell, m_i, m_j, m_w, m_row, m_col,
                         r_dof=r_dof, g_local=g_local)
 
 
+def assemble_np(plan: AssemblyPlan, k_cells, f_cells=None, dtype=np.float64):
+    """Numpy twin of :func:`assemble` for host orchestration.
+
+    Per-cycle topology shapes are fresh every adaptive cycle, so the eager
+    XLA path pays a compile per primitive per cycle; plain numpy with
+    ``bincount`` scatter-adds is faster end-to-end on host and bit-stable.
+    """
+    nnz = plan.pattern.nnz
+    n = plan.pattern.n_rows
+    k_cells = np.asarray(k_cells, dtype=dtype)
+    data = np.zeros(nnz, np.float64)
+    if len(plan.m_pos):
+        kvals = k_cells[plan.m_cell, plan.m_i, plan.m_j] * plan.m_w
+        data += np.bincount(plan.m_pos, weights=kvals, minlength=nnz)
+    if len(plan.d_pos):
+        kdiag = k_cells[plan.d_cell, plan.d_i, plan.d_i]
+        data += np.bincount(plan.d_pos, weights=kdiag, minlength=nnz)
+    data = data.astype(dtype, copy=False)
+
+    rhs = None
+    if f_cells is not None:
+        f_cells = np.asarray(f_cells, dtype=dtype)
+        lift = np.einsum("cij,cj->ci", k_cells,
+                         plan.g_local.astype(dtype, copy=False))
+        f_eff = f_cells - lift
+        rhs = np.zeros(n, np.float64)
+        if len(plan.r_dof):
+            rvals = f_eff[plan.r_cell, plan.r_i] * plan.r_w
+            rhs += np.bincount(plan.r_dof, weights=rvals, minlength=n)
+        rhs = rhs.astype(dtype, copy=False)
+    return data, rhs
+
+
 def assemble(plan: AssemblyPlan, k_cells, f_cells=None, dtype=jnp.float64):
     """Scatter batched element matrices/vectors into (csr_data, rhs).
 

@@ -46,3 +46,28 @@ def rhs_cells(tables: ElementTables, h, rho_q, dtype=None):
     phi = jnp.asarray(tables.phi, dtype)           # (n_q, nb)
     f = (jnp.asarray(rho_q, dtype) * w[None, :]) @ phi
     return (h ** tables.dim)[:, None] * f
+
+
+def stiffness_cells_np(tables: ElementTables, h, coeff_q=None,
+                       dtype=np.float64):
+    """Numpy twin of :func:`stiffness_cells` for host orchestration (the
+    per-cycle shapes are fresh each adaptive cycle; see assemble_np)."""
+    h = np.asarray(h, dtype)
+    scale = h ** (tables.dim - 2)
+    w = np.asarray(tables.weights, dtype)
+    G = np.asarray(tables.grad_outer, dtype)
+    if coeff_q is None:
+        k_ref = np.einsum("q,qij->ij", w, G)
+        return scale[:, None, None] * k_ref[None, :, :]
+    cw = np.asarray(coeff_q, dtype) * w[None, :]
+    k = np.tensordot(cw, G, axes=([1], [0]))
+    return scale[:, None, None] * k
+
+
+def rhs_cells_np(tables: ElementTables, h, rho_q, dtype=np.float64):
+    """Numpy twin of :func:`rhs_cells`."""
+    h = np.asarray(h, dtype)
+    w = np.asarray(tables.weights, dtype)
+    phi = np.asarray(tables.phi, dtype)
+    f = (np.asarray(rho_q, dtype) * w[None, :]) @ phi
+    return (h ** tables.dim)[:, None] * f

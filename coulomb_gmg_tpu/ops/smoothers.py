@@ -99,11 +99,18 @@ def make_chebyshev(A, degree: int = 4, eig_ratio: float = 30.0,
     lambda_max estimated by power iteration on D^{-1}A if not given."""
     inv_diag = 1.0 / A.diagonal()
     if lambda_max is None:
-        x = jnp.ones(A.n_rows, dtype=A.data.dtype)
+        # host-side power iteration (scipy SpMV): cheap, and avoids a dozen
+        # eager XLA dispatches on fresh per-cycle shapes
+        S = A.to_scipy()
+        d = np.asarray(inv_diag, np.float64)
+        x = np.ones(A.n_rows)
         for _ in range(12):
-            x = inv_diag * A.matvec(x)
-            x = x / jnp.linalg.norm(x)
-        lambda_max = float(jnp.vdot(x, inv_diag * A.matvec(x)))
+            x = d * (S @ x)
+            nrm = np.linalg.norm(x)
+            if nrm == 0:
+                break
+            x = x / nrm
+        lambda_max = float(x @ (d * (S @ x))) if np.linalg.norm(x) else 1.0
         lambda_max *= 1.1
     lmax = lambda_max
     lmin = lmax / eig_ratio

@@ -138,8 +138,7 @@ class ShardedGMG:
             np.add.at(diag, A.rowids[sel], data[sel])
             diag[diag == 0] = 1.0
             inv_diag = (1.0 / diag).reshape(D, blk)
-            lmax = _power_lmax(A.rowids, np.asarray(A.indices), data,
-                               1.0 / diag, nl) * 1.05 if nl > 1 else 2.0
+            lmax = _power_lmax(A, 1.0 / diag, nl) * 1.05 if nl > 1 else 2.0
             lmin = lmax / smoothing_range
             lv = _LevelBlocks(
                 n=nl, block=blk, n_pad=nl_pad, a_r=ar, a_c=ac, a_d=ad,

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from coulomb_gmg_tpu.mesh.forest import Forest
 from coulomb_gmg_tpu.mesh.dofs import Constraints, DofInfo, LevelDofs
-from coulomb_gmg_tpu.fem.assembly import build_plan, assemble, AssemblyPlan
+from coulomb_gmg_tpu.fem.assembly import (build_plan, assemble, assemble_np,
+                                          AssemblyPlan)
 from coulomb_gmg_tpu.ops.spmv import CSR, csr_matvec, csr_matvec_T
 from coulomb_gmg_tpu.ops.smoothers import (
     MGSmoother, make_jacobi, make_mc_ssor, make_ssor_host, make_chebyshev,
@@ -56,15 +57,21 @@ def build_interface_csr(plan: AssemblyPlan, ld: LevelDofs, k_cells,
                         dtype=jnp.float64) -> CSR:
     """Interface ("edge") matrix: raw level assembly masked to entries
     (i at edge, j not at edge, neither at domain boundary) — the keep
-    condition of src/step-50.cc:896-920."""
-    data, _ = assemble(plan, k_cells, None, dtype=dtype)
+    condition of src/step-50.cc:896-920.
+
+    The plan may cover only the subset of level cells that touch the
+    refinement edge (all other cells contribute nothing after the mask);
+    its pattern still spans the full level dof numbering."""
+    np_dtype = np.float32 if dtype == jnp.float32 else np.float64
+    data, _ = assemble_np(plan, k_cells, None, dtype=np_dtype)
     rows = plan.pattern.indptr
     rowids = np.repeat(np.arange(plan.pattern.n_rows), np.diff(rows))
     cols = plan.pattern.indices
     keep = (ld.interface[rowids] & ~ld.interface[cols]
             & ~ld.boundary[rowids] & ~ld.boundary[cols])
-    data = jnp.where(jnp.asarray(keep), data, 0.0)
-    return CSR.from_pattern(plan.pattern.indptr, plan.pattern.indices, data)
+    data = np.where(keep, data, 0.0)
+    return CSR.from_pattern(plan.pattern.indptr, plan.pattern.indices,
+                            jnp.asarray(data))
 
 
 def build_prolongation(forest: Forest, dofs: DofInfo, l: int) -> CSR:
@@ -227,33 +234,42 @@ def build_gmg(forest: Forest, dofs: DofInfo, tables, coeff_fn=None,
             prolongs.append(P)
             smoothers.append(smth)
         else:
+            np_dtype = np.float32 if dtype == jnp.float32 else np.float64
             h = forest.h(l) * np.ones(len(level_ijk))
             coeff_q = None
             if coeff_fn is not None:
                 lower = forest.lower + forest.h(l) * level_ijk
                 pts = (lower[:, None, :]
                        + forest.h(l) * tables.points[None, :, :])
-                coeff_q = coeff_fn(jnp.asarray(pts))
-            k_cells = stiffness_cells(tables, jnp.asarray(h), coeff_q,
-                                      dtype=dtype)
+                coeff_q = np.asarray(coeff_fn(jnp.asarray(pts)))
+            from coulomb_gmg_tpu.fem.integrals import stiffness_cells_np
+            k_cells = stiffness_cells_np(tables, h, coeff_q, dtype=np_dtype)
 
             plan_lvl = build_plan(ld.cell2dof, level_constraints(ld))
-            data, _ = assemble(plan_lvl, k_cells, None, dtype=dtype)
+            data, _ = assemble_np(plan_lvl, k_cells, None, dtype=np_dtype)
             A = CSR.from_pattern(plan_lvl.pattern.indptr,
-                                 plan_lvl.pattern.indices, data)
+                                 plan_lvl.pattern.indices, jnp.asarray(data))
             matrices.append(A)
             if l > 0 and ld.interface.any():
-                plan_raw = build_plan(ld.cell2dof,
+                # only cells touching a refinement-edge dof can contribute
+                # surviving (edge-row) entries — restrict the raw assembly
+                # to them (the mask of src/step-50.cc:896-920 zeroes
+                # everything else anyway).
+                sel = ld.interface[ld.cell2dof].any(axis=1)
+                plan_raw = build_plan(ld.cell2dof[sel],
                                       _empty_constraints(ld.n_dofs))
-                interfaces.append(build_interface_csr(plan_raw, ld, k_cells,
-                                                      dtype=dtype))
+                interfaces.append(build_interface_csr(
+                    plan_raw, ld, k_cells[sel], dtype=dtype))
             else:
                 interfaces.append(None)
             prolongs.append(build_prolongation(forest, dofs, l)
                             if l > 0 else None)
 
-            if l == 0:
-                smoothers.append(None)    # level 0 uses the coarse solver
+            if l == 0 or smoother == "none":
+                # level 0 uses the coarse solver; "none" skips smoother
+                # construction entirely (the TpuGMG path builds its own
+                # Chebyshev smoothers from the level operators)
+                smoothers.append(None)
             else:
                 if smoother == "ssor":
                     pre = make_ssor_host(A, smoother_damping)

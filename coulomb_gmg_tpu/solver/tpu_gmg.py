@@ -284,21 +284,39 @@ def _transpose_coo(rowids, cols, data, n_rows_T: int):
     return cols[order], rowids[order], data[order]
 
 
-def _power_lmax(rowids, cols, data, inv_diag, n: int, iters: int = 15):
-    """Host power iteration for lambda_max(D^{-1} A)."""
+def _power_lmax(csr, inv_diag, n: int, iters: int = 15):
+    """Host power iteration for lambda_max(D^{-1} A) (scipy SpMV)."""
+    import scipy.sparse as sp
+    S = sp.csr_matrix((np.asarray(csr.data, np.float64),
+                       np.asarray(csr.indices), np.asarray(csr.indptr)),
+                      shape=(n, csr.n_cols))
     rng = np.random.default_rng(0)
     v = rng.standard_normal(n)
     v /= np.linalg.norm(v)
+    d = inv_diag[:n].astype(np.float64)
     lam = 1.0
     for _ in range(iters):
-        w = np.zeros(n)
-        np.add.at(w, rowids, data * v[cols])
-        w *= inv_diag[:n]
+        w = d * (S @ v)
         lam = np.linalg.norm(w)
         if lam == 0:
             return 1.0
         v = w / lam
     return float(lam)
+
+
+def _hc_get(hc, key_obj, tag, build):
+    """Host cache keyed on (tag, identity of key_obj).  The stored strong
+    reference to key_obj keeps its id() from being recycled, so an entry can
+    never alias a different (freed) object."""
+    if hc is None:
+        return build()
+    k = (tag, id(key_obj))
+    ent = hc.get(k)
+    if ent is not None and ent[0] is key_obj:
+        return ent[1]
+    val = build()
+    hc[k] = (key_obj, val)
+    return val
 
 
 def _pad_idx(idx: np.ndarray, pad_value: int) -> np.ndarray:
@@ -319,7 +337,8 @@ class TpuGMG:
     def __init__(self, gmg, sys_csr, forest, device=None,
                  dtype=jnp.float32, smoother_degree: int = 4,
                  smoothing_range: float = 8.0, use_dst: bool = True,
-                 coarse_maxiter: int = 500, coarse_rtol: float = 1e-6):
+                 coarse_maxiter: int = 500, coarse_rtol: float = 1e-6,
+                 host_cache: Optional[dict] = None):
         import os
         import time
         self._debug = bool(os.environ.get("COULOMB_TPU_DEBUG"))
@@ -355,21 +374,26 @@ class TpuGMG:
             A = gmg.matrices[l]
             nl = A.n_rows
             nl_pad = _next_pow2(nl + 1)
-            data = np.asarray(A.data, self.np_dtype)
-            diag = np.zeros(nl_pad, self.np_dtype)
-            sel = A.rowids == A.indices
-            np.add.at(diag, A.rowids[sel], data[sel])
-            diag[diag == 0] = 1.0
-            inv_diag = (1.0 / diag).astype(self.np_dtype)
 
-            if l == 0 and have_dst:
-                h_ell = None      # coarse matrix never applied on device
-                lmax = 2.0
-            else:
-                ec, ev = _to_ell(A, nl_pad, self.np_dtype)
-                h_ell = (pk.i(ec), pk.f(ev))
-                lmax = _power_lmax(A.rowids, np.asarray(A.indices), data,
-                                   inv_diag, nl) * 1.05
+            def _diag_spec(A=A, nl=nl, nl_pad=nl_pad, l=l):
+                data = np.asarray(A.data, self.np_dtype)
+                diag = np.zeros(nl_pad, self.np_dtype)
+                sel = A.rowids == A.indices
+                np.add.at(diag, A.rowids[sel], data[sel])
+                diag[diag == 0] = 1.0
+                inv_diag = (1.0 / diag).astype(self.np_dtype)
+                if l == 0 and have_dst:
+                    ell = None    # coarse matrix never applied on device
+                    lmax = 2.0
+                else:
+                    ell = _to_ell(A, nl_pad, self.np_dtype)
+                    lmax = _power_lmax(A, inv_diag, nl) * 1.05
+                return inv_diag, ell, lmax
+
+            inv_diag, ell, lmax = _hc_get(
+                host_cache, A, ("lvl", str(self.np_dtype), have_dst and l == 0),
+                _diag_spec)
+            h_ell = (pk.i(ell[0]), pk.f(ell[1])) if ell is not None else None
             lmin = lmax / smoothing_range
             theta = np.asarray(0.5 * (lmax + lmin), self.np_dtype)
             delta = np.asarray(0.5 * (lmax - lmin), self.np_dtype)
@@ -377,17 +401,23 @@ class TpuGMG:
             h_if = h_ifT = None
             I = gmg.interfaces[l]
             if I is not None:
-                ic, iv = _to_ell(I, nl_pad, self.np_dtype)
+                def _if_spec(I=I, nl=nl, nl_pad=nl_pad):
+                    ic, iv = _to_ell(I, nl_pad, self.np_dtype)
+                    tr, tc, tv = _transpose_coo(
+                        I.rowids, np.asarray(I.indices),
+                        np.asarray(I.data, self.np_dtype), nl)
+                    indptr = np.zeros(nl + 1, dtype=np.int64)
+                    np.add.at(indptr, tr + 1, 1)
+                    np.cumsum(indptr, out=indptr)
+                    tcsr = _CSR(n_rows=nl, n_cols=nl, indptr=indptr,
+                                indices=tc, rowids=tr, data=tv)
+                    itc, itv = _to_ell(tcsr, nl_pad, self.np_dtype)
+                    return ic, iv, itc, itv
+
+                ic, iv, itc, itv = _hc_get(host_cache, I,
+                                           ("if", str(self.np_dtype)),
+                                           _if_spec)
                 h_if = (pk.i(ic), pk.f(iv))
-                tr, tc, tv = _transpose_coo(
-                    I.rowids, np.asarray(I.indices),
-                    np.asarray(I.data, self.np_dtype), nl)
-                indptr = np.zeros(nl + 1, dtype=np.int64)
-                np.add.at(indptr, tr + 1, 1)
-                np.cumsum(indptr, out=indptr)
-                tcsr = _CSR(n_rows=nl, n_cols=nl, indptr=indptr, indices=tc,
-                            rowids=tr, data=tv)
-                itc, itv = _to_ell(tcsr, nl_pad, self.np_dtype)
                 h_ifT = (pk.i(itc), pk.f(itv))
 
             h_p = h_r = None
@@ -395,17 +425,24 @@ class TpuGMG:
             if P is not None:
                 nc = gmg.matrices[l - 1].n_rows
                 nc_pad = _next_pow2(nc + 1)
-                pc, pv = _to_ell(P, nl_pad, self.np_dtype)
+
+                def _p_spec(P=P, nl=nl, nl_pad=nl_pad, nc=nc, nc_pad=nc_pad):
+                    pc, pv = _to_ell(P, nl_pad, self.np_dtype)
+                    tr, tc, tv = _transpose_coo(
+                        P.rowids, np.asarray(P.indices),
+                        np.asarray(P.data, self.np_dtype), nc)
+                    indptr = np.zeros(nc + 1, dtype=np.int64)
+                    np.add.at(indptr, tr + 1, 1)
+                    np.cumsum(indptr, out=indptr)
+                    tcsr = _CSR(n_rows=nc, n_cols=nl, indptr=indptr,
+                                indices=tc, rowids=tr, data=tv)
+                    rc, rv = _to_ell(tcsr, nc_pad, self.np_dtype)
+                    return pc, pv, rc, rv
+
+                pc, pv, rc, rv = _hc_get(host_cache, P,
+                                         ("pro", str(self.np_dtype)),
+                                         _p_spec)
                 h_p = (pk.i(pc), pk.f(pv))
-                tr, tc, tv = _transpose_coo(
-                    P.rowids, np.asarray(P.indices),
-                    np.asarray(P.data, self.np_dtype), nc)
-                indptr = np.zeros(nc + 1, dtype=np.int64)
-                np.add.at(indptr, tr + 1, 1)
-                np.cumsum(indptr, out=indptr)
-                tcsr = _CSR(n_rows=nc, n_cols=nl, indptr=indptr, indices=tc,
-                            rowids=tr, data=tv)
-                rc, rv = _to_ell(tcsr, nc_pad, self.np_dtype)
                 h_r = (pk.i(rc), pk.f(rv))
 
             level_specs.append(dict(
