@@ -50,8 +50,9 @@ class ELL:
         rowids = np.asarray(rowids)
         cols = np.asarray(cols)
         data = np.asarray(data)
-        order = np.argsort(rowids, kind="stable")
-        rowids, cols, data = rowids[order], cols[order], data[order]
+        if len(rowids) and (np.diff(rowids) < 0).any():
+            order = np.argsort(rowids, kind="stable")
+            rowids, cols, data = rowids[order], cols[order], data[order]
         counts = np.bincount(rowids, minlength=n_rows)
         K = int(counts.max()) if len(counts) and counts.max() > 0 else 1
         if pad_k_to is not None:

@@ -49,6 +49,13 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _pad_n(n: int) -> int:
+    """Row padding for level/system vectors: pow2 with an 8192 floor so
+    small (coarse) levels share one executable bucket across adaptive
+    cycles — their true sizes change every cycle, their bucket doesn't."""
+    return max(8192, _next_pow2(n + 1))
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -362,7 +369,7 @@ class TpuGMG:
         # ---- system matrix
         n = sys_csr.n_rows
         self.n = n
-        self.n_pad = _next_pow2(n + 1)
+        self.n_pad = _pad_n(n)
         sc, sv = _to_ell(sys_csr, self.n_pad, self.np_dtype)
         h_sys = (pk.i(sc), pk.f(sv))
 
@@ -373,7 +380,7 @@ class TpuGMG:
         for l in range(L):
             A = gmg.matrices[l]
             nl = A.n_rows
-            nl_pad = _next_pow2(nl + 1)
+            nl_pad = _pad_n(nl)
 
             def _diag_spec(A=A, nl=nl, nl_pad=nl_pad, l=l):
                 data = np.asarray(A.data, self.np_dtype)
@@ -424,7 +431,7 @@ class TpuGMG:
             P = gmg.prolongations[l]
             if P is not None:
                 nc = gmg.matrices[l - 1].n_rows
-                nc_pad = _next_pow2(nc + 1)
+                nc_pad = _pad_n(nc)
 
                 def _p_spec(P=P, nl=nl, nl_pad=nl_pad, nc=nc, nc_pad=nc_pad):
                     pc, pv = _to_ell(P, nl_pad, self.np_dtype)

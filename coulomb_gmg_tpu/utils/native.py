@@ -50,6 +50,11 @@ def _load():
             lib.cgmg_lookup.restype = None
             lib.cgmg_lookup.argtypes = [
                 i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
+            lib.cgmg_pattern.restype = ctypes.c_int64
+            lib.cgmg_pattern.argtypes = [
+                i64p, ctypes.c_int64, ctypes.c_int64,
+                i64p, i64p, ctypes.c_int64,
+                ctypes.c_int64, i64p, i64p, i64p]
             _LIB = lib
         except Exception:
             _LIB = None
@@ -70,6 +75,44 @@ def sort_unique_inverse(keys: np.ndarray):
     inverse = np.empty_like(keys)
     n_u = lib.cgmg_sort_unique_inverse(keys, len(keys), out, inverse)
     return out[:n_u].copy(), inverse
+
+
+def pattern(cell2dof_clean: np.ndarray, extra_rows: np.ndarray,
+            extra_cols: np.ndarray, n: int):
+    """Fused CSR pattern + inverse positions.
+
+    Enumerated pair order: all (cell, i, j) cross products of
+    ``cell2dof_clean`` (cell-major, i-major, j-minor), then the explicit
+    (extra_rows, extra_cols) pairs.  Returns (indptr, indices, inverse)
+    where inverse[p] is the CSR data position of enumerated pair p.
+    Numpy fallback when the native engine is unavailable.
+    """
+    c2d = np.ascontiguousarray(cell2dof_clean, dtype=np.int64)
+    er = np.ascontiguousarray(extra_rows, dtype=np.int64).reshape(-1)
+    ec = np.ascontiguousarray(extra_cols, dtype=np.int64).reshape(-1)
+    m, nb = c2d.shape if c2d.ndim == 2 else (0, 1)
+    total = m * nb * nb + len(er)
+    lib = _load()
+    if lib is not None and total >= (1 << 15):
+        indptr = np.empty(n + 1, dtype=np.int64)
+        indices = np.empty(max(total, 1), dtype=np.int64)
+        inverse = np.empty(max(total, 1), dtype=np.int64)
+        nnz = lib.cgmg_pattern(c2d, m, nb, er, ec, len(er), n,
+                               indptr, indices, inverse)
+        return indptr, indices[:nnz].copy(), inverse[:total]
+    # fallback: materialize keys and np.unique
+    ii = np.repeat(np.arange(nb), nb)
+    jj = np.tile(np.arange(nb), nb)
+    rows = np.concatenate([c2d[:, ii].reshape(-1), er])
+    cols = np.concatenate([c2d[:, jj].reshape(-1), ec])
+    keys = rows * np.int64(n) + cols
+    uniq, inverse = sort_unique_inverse(keys)
+    rows_u = (uniq // n).astype(np.int64)
+    indices = (uniq % n).astype(np.int64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, rows_u + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return indptr, indices, inverse
 
 
 def searchsorted(sorted_keys: np.ndarray, queries: np.ndarray) -> np.ndarray:

@@ -51,6 +51,21 @@ void parallel_for(int64_t n, F&& f) {
   for (auto& th : ts) th.join();
 }
 
+// Always splits (bucket loops do O(total) inner work even when the bucket
+// COUNT is small, so the parallel_for element threshold is wrong for them).
+template <class F>
+void parallel_buckets(int64_t B, F&& f) {
+  unsigned T = n_threads();
+  if (B < 2 || T < 2) {
+    f(0, B, 0);
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (unsigned t = 0; t < T; ++t)
+    ts.emplace_back([&, t] { f(B * t / T, B * (t + 1) / T, t); });
+  for (auto& th : ts) th.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -146,7 +161,7 @@ int64_t cgmg_sort_unique_inverse(const int64_t* keys, int64_t n,
   }
   // unique-rank: per-bucket unique counts, prefix, then fill
   std::vector<int64_t> uniq_in_bucket(B, 0);
-  parallel_for(B, [&](int64_t lo, int64_t hi, unsigned) {
+  parallel_buckets(B, [&](int64_t lo, int64_t hi, unsigned) {
     for (int64_t b = lo; b < hi; ++b) {
       int64_t c = 0;
       int64_t prev = INT64_MIN;
@@ -161,7 +176,7 @@ int64_t cgmg_sort_unique_inverse(const int64_t* keys, int64_t n,
   std::vector<int64_t> uniq_base(B + 1, 0);
   for (int64_t b = 0; b < B; ++b)
     uniq_base[b + 1] = uniq_base[b] + uniq_in_bucket[b];
-  parallel_for(B, [&](int64_t lo, int64_t hi, unsigned) {
+  parallel_buckets(B, [&](int64_t lo, int64_t hi, unsigned) {
     for (int64_t b = lo; b < hi; ++b) {
       int64_t u = uniq_base[b] - 1;
       int64_t prev = INT64_MIN;
@@ -175,6 +190,145 @@ int64_t cgmg_sort_unique_inverse(const int64_t* keys, int64_t n,
     }
   });
   return uniq_base[B];
+}
+
+// Fused CSR-pattern builder for Q1 assembly plans.
+//
+// Enumerates the (row, col) pairs of the system/level sparsity in place —
+// the clean cells' nb x nb cross products are IMPLICIT (generated from
+// cell2dof on the fly, never materialized host-side), explicit extra pairs
+// (constraint-expanded dirty-cell entries + regularization diagonals)
+// follow — then performs one parallel bucket sort + unique over the
+// composite key row*n+col and emits:
+//   indptr[n+1], indices[nnz] (CSR pattern), inverse[total]
+//   (data position of every enumerated pair, in enumeration order).
+// Returns nnz.  This replaces the reference's deal.II
+// make_sparsity_pattern + ConstraintMatrix::distribute_local_to_global
+// position resolution (src/step-50.cc:699-731) with a single fused pass.
+int64_t cgmg_pattern(const int64_t* c2d, int64_t m, int64_t nb,
+                     const int64_t* erows, const int64_t* ecols, int64_t k,
+                     int64_t n, int64_t* indptr, int64_t* indices,
+                     int64_t* inverse) {
+  const int64_t nb2 = nb * nb;
+  const int64_t mq = m * nb2;
+  const int64_t total = mq + k;
+  if (total == 0) {
+    for (int64_t i = 0; i <= n; ++i) indptr[i] = 0;
+    return 0;
+  }
+  auto key_of = [&](int64_t i) -> int64_t {
+    if (i < mq) {
+      const int64_t c = i / nb2;
+      const int64_t rem = i - c * nb2;
+      return c2d[c * nb + rem / nb] * n + c2d[c * nb + rem % nb];
+    }
+    const int64_t j = i - mq;
+    return erows[j] * n + ecols[j];
+  };
+  const unsigned T = n_threads();
+
+  // bucket by top key bits (keys are in [0, n*n))
+  unsigned bucket_bits = 11;  // 2048 buckets
+  __int128 range128 = (__int128)n * n;
+  int shift = 0;
+  while ((range128 >> shift) > (int64_t(1) << bucket_bits)) ++shift;
+  const int64_t B = int64_t(range128 >> shift) + 1;
+
+  std::vector<std::vector<int64_t>> hist(T, std::vector<int64_t>(B, 0));
+  parallel_for(total, [&](int64_t lo, int64_t hi, unsigned t) {
+    auto& h = hist[t];
+    for (int64_t i = lo; i < hi; ++i) ++h[key_of(i) >> shift];
+  });
+  std::vector<int64_t> bucket_start(B + 1, 0);
+  for (int64_t b = 0; b < B; ++b)
+    for (unsigned t = 0; t < T; ++t) bucket_start[b + 1] += hist[t][b];
+  for (int64_t b = 0; b < B; ++b) bucket_start[b + 1] += bucket_start[b];
+  std::vector<std::vector<int64_t>> offs(T, std::vector<int64_t>(B));
+  {
+    std::vector<int64_t> cur(bucket_start.begin(), bucket_start.end() - 1);
+    for (unsigned t = 0; t < T; ++t)
+      for (int64_t b = 0; b < B; ++b) {
+        offs[t][b] = cur[b];
+        cur[b] += hist[t][b];
+      }
+  }
+  std::vector<KV> buf(total);
+  parallel_for(total, [&](int64_t lo, int64_t hi, unsigned t) {
+    auto& o = offs[t];
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t key = key_of(i);
+      buf[o[key >> shift]++] = {key, i};
+    }
+  });
+  {
+    std::vector<std::thread> ts;
+    std::vector<int64_t> order(B);
+    for (int64_t b = 0; b < B; ++b) order[b] = b;
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b2) {
+      return (bucket_start[a + 1] - bucket_start[a]) >
+             (bucket_start[b2 + 1] - bucket_start[b2]);
+    });
+    std::vector<int64_t> idx_counter(1, 0);
+    std::mutex* mtx = new std::mutex;
+    for (unsigned t = 0; t < T; ++t)
+      ts.emplace_back([&, mtx] {
+        for (;;) {
+          int64_t kk;
+          {
+            std::lock_guard<std::mutex> g(*mtx);
+            if (idx_counter[0] >= B) return;
+            kk = idx_counter[0]++;
+          }
+          const int64_t b = order[kk];
+          std::sort(buf.begin() + bucket_start[b],
+                    buf.begin() + bucket_start[b + 1], kv_less);
+        }
+      });
+    for (auto& th : ts) th.join();
+    delete mtx;
+  }
+  std::vector<int64_t> uniq_in_bucket(B, 0);
+  parallel_buckets(B, [&](int64_t lo, int64_t hi, unsigned) {
+    for (int64_t b = lo; b < hi; ++b) {
+      int64_t c = 0;
+      int64_t prev = INT64_MIN;
+      for (int64_t i = bucket_start[b]; i < bucket_start[b + 1]; ++i)
+        if (buf[i].key != prev) {
+          prev = buf[i].key;
+          ++c;
+        }
+      uniq_in_bucket[b] = c;
+    }
+  });
+  std::vector<int64_t> uniq_base(B + 1, 0);
+  for (int64_t b = 0; b < B; ++b)
+    uniq_base[b + 1] = uniq_base[b] + uniq_in_bucket[b];
+  const int64_t nnz = uniq_base[B];
+  // fill indices (= key % n) and inverse; count rows for indptr per bucket
+  std::vector<std::vector<int64_t>> rcount(T, std::vector<int64_t>(n + 1, 0));
+  parallel_buckets(B, [&](int64_t lo, int64_t hi, unsigned t) {
+    auto& rc = rcount[t];
+    for (int64_t b = lo; b < hi; ++b) {
+      int64_t u = uniq_base[b] - 1;
+      int64_t prev = INT64_MIN;
+      for (int64_t i = bucket_start[b]; i < bucket_start[b + 1]; ++i) {
+        if (buf[i].key != prev) {
+          prev = buf[i].key;
+          ++u;
+          indices[u] = prev % n;
+          ++rc[prev / n + 1];
+        }
+        inverse[buf[i].idx] = u;
+      }
+    }
+  });
+  for (int64_t r = 0; r <= n; ++r) {
+    int64_t s = 0;
+    for (unsigned t = 0; t < T; ++t) s += rcount[t][r];
+    indptr[r] = s;
+  }
+  for (int64_t r = 0; r < n; ++r) indptr[r + 1] += indptr[r];
+  return nnz;
 }
 
 // vectorized lower_bound of q[m] in sorted[n]
