@@ -25,7 +25,19 @@ def main(argv=None):
                     help="override number of adaptive cycles")
     ap.add_argument("--smoother", default=None,
                     choices=["ssor", "mc_ssor", "jacobi", "chebyshev"])
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="write a jax.profiler trace of the run to DIR "
+                         "(TensorBoard/Perfetto format) — the TPU-native "
+                         "analogue of the reference's likwid profiling run "
+                         "(jobscript:8,33)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="initialize jax.distributed for multi-host meshes "
+                         "(coordinator/process env via JAX conventions)")
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        from coulomb_gmg_tpu.utils.platform import init_distributed
+        init_distributed()
 
     if args.cpu:
         from coulomb_gmg_tpu.utils.platform import use_cpu
@@ -47,8 +59,16 @@ def main(argv=None):
         overrides.setdefault("smoother", "mc_ssor")
     cfg = load_prm(args.prm, **overrides)
 
+    from contextlib import nullcontext
+    trace_ctx = nullcontext()
+    if args.profile:
+        import jax
+        trace_ctx = jax.profiler.trace(args.profile,
+                                       create_perfetto_trace=True)
+
     try:
-        Simulation(cfg).run()
+        with trace_ctx:
+            Simulation(cfg).run()
     except Exception as exc:                      # src/main.cc:96-118
         print("----------------------------------------------------",
               file=sys.stderr)

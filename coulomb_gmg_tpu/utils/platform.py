@@ -35,3 +35,24 @@ def default_dtype():
     import jax.numpy as jnp
     import jax
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def init_distributed(coordinator: str = None, num_processes: int = None,
+                     process_id: int = None) -> None:
+    """Initialize ``jax.distributed`` for multi-host device meshes.
+
+    The TPU-native analogue of the reference's ``MPI_InitFinalize``
+    (src/main.cc:8): after this, ``jax.devices()`` spans every host's chips
+    and the sharded solvers' collectives (parallel/sharded*.py) ride
+    ICI/DCN across the whole slice.  Arguments default to the JAX
+    environment conventions (COORDINATOR_ADDRESS etc. / TPU metadata);
+    call before any other JAX computation.  No-op if already initialized.
+    """
+    import jax
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
