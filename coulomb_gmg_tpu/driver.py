@@ -454,11 +454,14 @@ class Simulation:
                 self.atoms.n
             dev = self.tpu_device if (self.use_tpu_cg and work >= 2e9) \
                 else None
+            # float32 pair sums on float32 runs (the exact-gradient distance
+            # matrix is memory-bandwidth bound); float64 parity runs keep
+            # full precision
+            f32 = dev is not None or self.dtype == jnp.float32
             err = energy_norm_error(self.forest, self.tab_lap, self.solution,
                                     self.atoms.positions, self.atoms.charges,
                                     self.cfg.r_c, device=dev,
-                                    dtype=np.float32 if dev is not None
-                                    else None)
+                                    dtype=np.float32 if f32 else None)
         self.pcout("Error in FE solution in energy norm:  " + sci10(err))
         return err
 

@@ -42,7 +42,6 @@ def atom_masks(forest: Forest, positions: np.ndarray, cutoff: float,
     Fixed-size jitted chunks (one compile, reused)."""
     dim = forest.dim
     n_cells = forest.n_cells
-    off = corner_offsets(dim).astype(np.float64)
     lower = forest.cell_lower()
     h = forest.cell_h()
     import jax
@@ -57,16 +56,18 @@ def atom_masks(forest: Forest, positions: np.ndarray, cutoff: float,
     for s in range(0, n_pad, chunk):
         out.append(np.asarray(_vertex_mask_jit(
             put(lower_p[s:s + chunk]), put(h_p[s:s + chunk]),
-            put(off), pos, cutoff * cutoff)))
+            pos, cutoff * cutoff)))
     return np.concatenate(out, axis=0)[:n_cells]
 
 
 @jax.jit
-def _vertex_mask_jit(lo, hh, off, pos, c2):
-    verts = lo[:, None, :] + hh[:, None, None] * off[None, :, :]
-    d = verts[:, :, None, :] - pos[None, None, :, :]
-    r2 = jnp.sum(d * d, axis=-1)                # (c, 2^dim, atoms)
-    return (r2 < c2).any(axis=1)
+def _vertex_mask_jit(lo, hh, pos, c2):
+    # min over the 2^dim corners factorizes per axis (see ops/neighbors.py):
+    # min_v |x - v|^2 = sum_d min((x_d - lo_d)^2, (x_d - lo_d - h)^2)
+    a = pos[None, :, :] - lo[:, None, :]        # (c, atoms, dim)
+    b = a - hh[:, None, None]
+    d2 = jnp.sum(jnp.minimum(a * a, b * b), axis=-1)
+    return d2 < c2
 
 
 def masks_to_lists(mask: np.ndarray, pad_to: Optional[int] = None):

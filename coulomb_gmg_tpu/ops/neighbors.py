@@ -98,13 +98,19 @@ def atom_lists(forest: Forest, positions: np.ndarray, cutoff: float,
                           bcount)
         pl = np.arange(len(pair_cell)) - pbase
         cand = np.repeat(bstart, bcount) + pl       # index into sorted_pos
-        # exact criterion: atom within cutoff of ANY cell vertex
-        keep = np.zeros(len(pair_cell), dtype=bool)
+        # exact criterion: atom within cutoff of ANY cell vertex.  The min
+        # over the 2^dim corners of an axis-aligned box factorizes per axis:
+        #   min_v |x - v|^2 = sum_d min((x_d - lo_d)^2, (x_d - lo_d - h)^2)
+        # — one pass instead of 2^dim.
         cpos = sorted_pos[cand]
-        for v in range(2 ** dim):
-            vert = lower[pair_cell] + h[pair_cell, None] * off[v]
-            d2 = np.sum((vert - cpos) ** 2, axis=1)
-            keep |= d2 < c2
+        cl = lower[pair_cell]
+        ch = h[pair_cell]
+        d2 = np.zeros(len(pair_cell))
+        for d in range(dim):
+            a = cpos[:, d] - cl[:, d]
+            b = a - ch
+            d2 += np.minimum(a * a, b * b)
+        keep = d2 < c2
         rows_out.append(pair_cell[keep])
         atoms_out.append(order[cand[keep]])
 

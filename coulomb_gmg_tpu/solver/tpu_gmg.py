@@ -197,6 +197,8 @@ class _Packer:
         self._bufs[kind].append(flat)
         self._off[kind] += flat.size
         self._meta.append(h)
+        self._arrays = getattr(self, "_arrays", [])
+        self._arrays.append(a)
         return len(self._meta) - 1
 
     def f(self, a):
@@ -206,6 +208,11 @@ class _Packer:
         return self.add(a, "i")
 
     def ship(self, device):
+        if device is None:
+            # host backend: no transfer to amortize — hand each array over
+            # directly instead of paying the blob concat + device-side
+            # dynamic_slice views
+            return [jnp.asarray(a) for a in self._arrays]
         blobs = {}
         for kind, bufs in self._bufs.items():
             if not bufs:
