@@ -78,9 +78,11 @@ def _dst_solve(S, lam, b, dim: int):
     u = b
     for ax in range(dim):
         u = jnp.moveaxis(
-            jnp.tensordot(S, jnp.moveaxis(u, ax, 0), axes=([1], [0])), 0, ax)
+            jnp.tensordot(S, jnp.moveaxis(u, ax, 0), axes=([1], [0]),
+                          precision=jax.lax.Precision.HIGHEST), 0, ax)
     u = u / lam
     for ax in range(dim):
         u = jnp.moveaxis(
-            jnp.tensordot(S, jnp.moveaxis(u, ax, 0), axes=([1], [0])), 0, ax)
+            jnp.tensordot(S, jnp.moveaxis(u, ax, 0), axes=([1], [0]),
+                          precision=jax.lax.Precision.HIGHEST), 0, ax)
     return u

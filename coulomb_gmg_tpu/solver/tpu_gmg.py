@@ -241,11 +241,13 @@ def _coarse_apply(S, lam, d, inv_diag, interior_idx, b_idx, shape):
     dim = len(shape)
     for ax in range(dim):
         u = jnp.moveaxis(
-            jnp.tensordot(S, jnp.moveaxis(u, ax, 0), axes=([1], [0])), 0, ax)
+            jnp.tensordot(S, jnp.moveaxis(u, ax, 0), axes=([1], [0]),
+                          precision=jax.lax.Precision.HIGHEST), 0, ax)
     u = u / lam
     for ax in range(dim):
         u = jnp.moveaxis(
-            jnp.tensordot(S, jnp.moveaxis(u, ax, 0), axes=([1], [0])), 0, ax)
+            jnp.tensordot(S, jnp.moveaxis(u, ax, 0), axes=([1], [0]),
+                          precision=jax.lax.Precision.HIGHEST), 0, ax)
     out = jnp.zeros_like(d)
     out = out.at[interior_idx].set(u.reshape(-1))
     out = out.at[b_idx].set(d[b_idx] * inv_diag[b_idx])
