@@ -85,6 +85,11 @@ class Config:
     solver_backend: str = "auto"         # auto | gmg | tpu_cg (bucketed TPU kernel)
     output_dir: str = "."
     write_vtu: bool = False
+    # hybrid placement: the V-cycle is DISPATCH-latency bound (hundreds of
+    # small ops per solve), so it only belongs on the accelerator once the
+    # vectors are large enough to amortize per-op latency; chunky
+    # density/FE-error offloads have no such floor.
+    solve_device_min_dofs: int = 2_000_000
     # checkpoint/resume (a capability the reference lacks, SURVEY 5.4):
     checkpoint_dir: str = ""     # save a resumable snapshot per cycle
     resume_from: str = ""        # path of a snapshot to resume after

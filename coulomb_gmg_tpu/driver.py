@@ -308,9 +308,14 @@ class Simulation:
                     _t0 = _time.time()
                     if not hasattr(self, "_tpu_host_cache"):
                         self._tpu_host_cache = {}
+                    # the V-cycle is dispatch-latency bound on a remote
+                    # accelerator — host until vectors amortize per-op cost
+                    solve_dev = (self.tpu_device
+                                 if self.A.n_rows >= cfg.solve_device_min_dofs
+                                 else None)
                     gmg_tpu = TpuGMG(
                         self.gmg, self.A, self.forest,
-                        device=self.tpu_device, dtype=self.dtype,
+                        device=solve_dev, dtype=self.dtype,
                         use_dst=(cfg.problem == "GaussianCharges"),
                         host_cache=self._tpu_host_cache)
                     x, k, res0, resf = gmg_tpu.solve(

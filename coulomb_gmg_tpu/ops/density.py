@@ -199,25 +199,29 @@ def compute_density(forest: Forest, points_ref: np.ndarray, positions,
     lower_p = np.zeros((n_pad, dim), pt_dtype); lower_p[:n_cells] = lower
     h_p = np.ones(n_pad, pt_dtype); h_p[:n_cells] = h
 
+    pref_dev = put(pref)
     outs = []
     for s in range(0, n_pad, chunk):
-        pts = (lower_p[s:s + chunk, None, :]
-               + h_p[s:s + chunk, None, None] * pref[None, :, :])
-        pts = put(pts)
+        # ship only (lower, h) — the (chunk, n_q, dim) physical points are
+        # built inside the jit: 3*n_q fewer bytes over the (slow) tunnel
+        lo_c = put(lower_p[s:s + chunk])
+        h_c = put(h_p[s:s + chunk])
         if lists is not None:
             li = np.full((chunk, lists.shape[1]), -1, dtype=np.int32)
             e = min(s + chunk, n_cells)
             if e > s:
                 li[: e - s] = lists[s:e]
-            outs.append(_density_lists_jit(pts, pos, q, r_c, put(li)))
+            outs.append(_density_lists_jit(lo_c, h_c, pref_dev, pos, q,
+                                           r_c, put(li)))
         elif mask is not None:
             mk = np.zeros((chunk, mask.shape[1]), dtype=bool)
             e = min(s + chunk, n_cells)
             if e > s:
                 mk[: e - s] = mask[s:e]
-            outs.append(_density_dense_jit(pts, pos, q, r_c, put(mk)))
+            outs.append(_density_dense_jit(lo_c, h_c, pref_dev, pos, q,
+                                           r_c, put(mk)))
         else:
-            outs.append(_density_all_jit(pts, pos, q, r_c))
+            outs.append(_density_all_jit(lo_c, h_c, pref_dev, pos, q, r_c))
         # start the device->host copy while later chunks still compute
         try:
             outs[-1].copy_to_host_async()
@@ -229,16 +233,23 @@ def compute_density(forest: Forest, points_ref: np.ndarray, positions,
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("r_c",))
-def _density_dense_jit(points, positions, charges, r_c, mask):
-    return density_dense(points, positions, charges, r_c, mask)
+def _cell_points(lower, h, pref):
+    return lower[:, None, :] + h[:, None, None] * pref[None, :, :]
 
 
 @_partial(jax.jit, static_argnames=("r_c",))
-def _density_all_jit(points, positions, charges, r_c):
-    return density_dense(points, positions, charges, r_c)
+def _density_dense_jit(lower, h, pref, positions, charges, r_c, mask):
+    return density_dense(_cell_points(lower, h, pref), positions, charges,
+                         r_c, mask)
 
 
 @_partial(jax.jit, static_argnames=("r_c",))
-def _density_lists_jit(points, positions, charges, r_c, lists):
-    return density_from_lists(points, positions, charges, r_c, lists)
+def _density_all_jit(lower, h, pref, positions, charges, r_c):
+    return density_dense(_cell_points(lower, h, pref), positions, charges,
+                         r_c)
+
+
+@_partial(jax.jit, static_argnames=("r_c",))
+def _density_lists_jit(lower, h, pref, positions, charges, r_c, lists):
+    return density_from_lists(_cell_points(lower, h, pref), positions,
+                              charges, r_c, lists)

@@ -60,6 +60,16 @@ def atom_lists(forest: Forest, positions: np.ndarray, cutoff: float,
 
     lower = forest.cell_lower()
     h = forest.cell_h()
+
+    # native engine path: the whole bucket-probe + corner-criterion loop in
+    # parallel C++ with no host temporaries (native/forest_engine.cpp)
+    from coulomb_gmg_tpu.utils import native
+    nat = native.atom_lists(lower, h, sorted_pos, order, starts,
+                            np.asarray(shape), origin + lo * pitch,
+                            pitch, cutoff)
+    if nat is not None:
+        return nat
+
     off = corner_offsets(dim).astype(np.float64)
     c2 = cutoff * cutoff
 

@@ -55,6 +55,14 @@ def _load():
                 i64p, ctypes.c_int64, ctypes.c_int64,
                 i64p, i64p, ctypes.c_int64,
                 ctypes.c_int64, i64p, i64p, i64p]
+            f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            lib.cgmg_atom_lists.restype = None
+            lib.cgmg_atom_lists.argtypes = [
+                f64p, f64p, ctypes.c_int64, ctypes.c_int64,
+                f64p, i64p, i64p, i64p, f64p,
+                ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+                i32p, i64p]
             _LIB = lib
         except Exception:
             _LIB = None
@@ -113,6 +121,38 @@ def pattern(cell2dof_clean: np.ndarray, extra_rows: np.ndarray,
     np.add.at(indptr, rows_u + 1, 1)
     np.cumsum(indptr, out=indptr)
     return indptr, indices, inverse
+
+
+def atom_lists(lower: np.ndarray, h: np.ndarray, sorted_pos: np.ndarray,
+               aorder: np.ndarray, bstarts: np.ndarray, bshape: np.ndarray,
+               borigin: np.ndarray, pitch: float, cutoff: float):
+    """Native atom-cell locality lists (None if the engine is unavailable).
+
+    Returns (lists (m, K) int32 -1-padded, counts (m,)).  Inputs are the
+    spatial-hash tables of ops.neighbors.build_atom_buckets.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    lower = np.ascontiguousarray(lower, np.float64)
+    h = np.ascontiguousarray(h, np.float64)
+    sorted_pos = np.ascontiguousarray(sorted_pos, np.float64)
+    aorder = np.ascontiguousarray(aorder, np.int64)
+    bstarts = np.ascontiguousarray(bstarts, np.int64)
+    bshape = np.ascontiguousarray(bshape, np.int64)
+    borigin = np.ascontiguousarray(borigin, np.float64)
+    m, dim = lower.shape
+    counts = np.empty(m, dtype=np.int64)
+    dummy = np.empty(1, dtype=np.int32)
+    lib.cgmg_atom_lists(lower, h, m, dim, sorted_pos, aorder, bstarts,
+                        bshape, borigin, float(pitch), float(cutoff), 0,
+                        dummy, counts)
+    K = max(int(counts.max()) if m else 0, 1)
+    lists = np.full((m, K), -1, dtype=np.int32)
+    lib.cgmg_atom_lists(lower, h, m, dim, sorted_pos, aorder, bstarts,
+                        bshape, borigin, float(pitch), float(cutoff), K,
+                        lists, counts)
+    return lists, counts
 
 
 def searchsorted(sorted_keys: np.ndarray, queries: np.ndarray) -> np.ndarray:

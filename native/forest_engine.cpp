@@ -16,6 +16,7 @@
 // Build: make -C native
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <mutex>
@@ -329,6 +330,63 @@ int64_t cgmg_pattern(const int64_t* c2d, int64_t m, int64_t nb,
   }
   for (int64_t r = 0; r < n; ++r) indptr[r + 1] += indptr[r];
   return nnz;
+}
+
+// Atom-cell locality lists (the reference's rhs_assembly_optimization,
+// src/step-50.cc:260-306 — its single most expensive stage at 64k atoms).
+// Atoms are pre-bucketed on a uniform grid of pitch >= cutoff (host side);
+// each cell probes the buckets overlapped by its cutoff-inflated bounding
+// box and applies the exact corner-distance criterion
+//   min_v |x - v|^2 = sum_d min((x_d - lo_d)^2, (x_d - lo_d - h)^2) < c^2.
+// Two-phase: K == 0 -> fill counts only; K > 0 -> also fill the padded
+// (m, K) int32 list matrix (-1 padding), candidates emitted in bucket
+// order (deterministic).  Parallel over cells, no temporaries.
+void cgmg_atom_lists(const double* lower, const double* hh, int64_t m,
+                     int64_t dim, const double* spos, const int64_t* aorder,
+                     const int64_t* bstarts, const int64_t* bshape,
+                     const double* borigin, double pitch, double cutoff,
+                     int64_t K, int32_t* lists, int64_t* counts) {
+  const double c2 = cutoff * cutoff;
+  parallel_for(m, [&](int64_t clo, int64_t chi, unsigned) {
+    int64_t blo[3], bhi[3], bi[3];
+    for (int64_t c = clo; c < chi; ++c) {
+      const double* l = lower + c * dim;
+      const double h = hh[c];
+      for (int64_t d = 0; d < dim; ++d) {
+        int64_t a = (int64_t)std::floor((l[d] - cutoff - borigin[d]) / pitch);
+        int64_t b = (int64_t)std::floor((l[d] + h + cutoff - borigin[d]) / pitch);
+        blo[d] = std::min(std::max(a, int64_t(0)), bshape[d] - 1);
+        bhi[d] = std::min(std::max(b, int64_t(0)), bshape[d] - 1);
+        bi[d] = blo[d];
+      }
+      int64_t cnt = 0;
+      for (;;) {
+        int64_t lin = bi[0];
+        for (int64_t d = 1; d < dim; ++d) lin = lin * bshape[d] + bi[d];
+        for (int64_t a = bstarts[lin]; a < bstarts[lin + 1]; ++a) {
+          const double* p = spos + a * dim;
+          double d2 = 0.0;
+          for (int64_t d = 0; d < dim; ++d) {
+            const double u = p[d] - l[d];
+            const double v = u - h;
+            d2 += std::min(u * u, v * v);
+          }
+          if (d2 < c2) {
+            if (K > 0 && cnt < K) lists[c * K + cnt] = (int32_t)aorder[a];
+            ++cnt;
+          }
+        }
+        // advance the dim-dimensional bucket-box iterator
+        int64_t d = dim - 1;
+        for (; d >= 0; --d) {
+          if (++bi[d] <= bhi[d]) break;
+          bi[d] = blo[d];
+        }
+        if (d < 0) break;
+      }
+      counts[c] = cnt;
+    }
+  });
 }
 
 // vectorized lower_bound of q[m] in sorted[n]
