@@ -189,12 +189,23 @@ def compute_density(forest: Forest, points_ref: np.ndarray, positions,
 
     pos = put(positions)
     q = put(charges)
-    chunk = min(chunk, max(n_cells, 1))
 
     pt_dtype = dtype if dtype is not None else np.float64
+    pref = np.asarray(points_ref, pt_dtype)
+    # separable tensor-product path: dim*n1*K transcendentals per cell
+    # instead of n1^dim*K, recombined by a batched matmul (see _sep_rho)
+    x1 = _tensor_rule_1d(np.asarray(points_ref, np.float64), dim)
+    x1_dev = put(x1.astype(pt_dtype)) if x1 is not None else None
+
+    # bound the (chunk, n_q-or-n1^2, width) intermediates to ~tens of MB
+    width = (lists.shape[1] if lists is not None
+             else (mask.shape[1] if mask is not None else len(positions)))
+    per_cell = max(n_q * max(int(width), 1), 1)
+    c_fit = 1 << max(int(np.log2(max((1 << 23) // per_cell, 1))), 9)
+    chunk = min(chunk, c_fit, max(n_cells, 1))
+
     lower = forest.cell_lower().astype(pt_dtype)
     h = forest.cell_h().astype(pt_dtype)
-    pref = np.asarray(points_ref, pt_dtype)
     n_pad = ((n_cells + chunk - 1) // chunk) * chunk
     lower_p = np.zeros((n_pad, dim), pt_dtype); lower_p[:n_cells] = lower
     h_p = np.ones(n_pad, pt_dtype); h_p[:n_cells] = h
@@ -211,17 +222,26 @@ def compute_density(forest: Forest, points_ref: np.ndarray, positions,
             e = min(s + chunk, n_cells)
             if e > s:
                 li[: e - s] = lists[s:e]
-            outs.append(_density_lists_jit(lo_c, h_c, pref_dev, pos, q,
-                                           r_c, put(li)))
+            outs.append(
+                _density_lists_sep_jit(lo_c, h_c, x1_dev, pos, q, r_c,
+                                       put(li)) if x1_dev is not None else
+                _density_lists_jit(lo_c, h_c, pref_dev, pos, q, r_c,
+                                   put(li)))
         elif mask is not None:
             mk = np.zeros((chunk, mask.shape[1]), dtype=bool)
             e = min(s + chunk, n_cells)
             if e > s:
                 mk[: e - s] = mask[s:e]
-            outs.append(_density_dense_jit(lo_c, h_c, pref_dev, pos, q,
-                                           r_c, put(mk)))
+            outs.append(
+                _density_dense_sep_jit(lo_c, h_c, x1_dev, pos, q, r_c,
+                                       put(mk)) if x1_dev is not None else
+                _density_dense_jit(lo_c, h_c, pref_dev, pos, q, r_c,
+                                   put(mk)))
         else:
-            outs.append(_density_all_jit(lo_c, h_c, pref_dev, pos, q, r_c))
+            outs.append(
+                _density_all_sep_jit(lo_c, h_c, x1_dev, pos, q, r_c)
+                if x1_dev is not None else
+                _density_all_jit(lo_c, h_c, pref_dev, pos, q, r_c))
         # start the device->host copy while later chunks still compute
         try:
             outs[-1].copy_to_host_async()
@@ -253,3 +273,78 @@ def _density_all_jit(lower, h, pref, positions, charges, r_c):
 def _density_lists_jit(lower, h, pref, positions, charges, r_c, lists):
     return density_from_lists(_cell_points(lower, h, pref), positions,
                               charges, r_c, lists)
+
+
+# ---------------------------------------------------------------------------
+# Separable (tensor-product) density: because the quadrature grid is a
+# tensor product and the Gaussian factorizes per axis,
+#   exp(-|x_q - X|^2 / rc^2) = prod_d exp(-(x_{q_d} - X_d)^2 / rc^2),
+# only dim * n1 * K transcendentals are needed per cell (vs n1^dim * K) and
+# the recombination is a batched matmul — MXU work.  Quadrature flat index
+# convention (ops/q1.element_tables): axis 0 slowest, axis dim-1 fastest.
+# ---------------------------------------------------------------------------
+
+def _sep_rho(E, qa, r_c):
+    """E: (C, n1, K-or-A, dim) per-axis Gaussian factors; qa: (C, K) or
+    broadcastable effective charges.  Returns (C, n1^dim)."""
+    const = 4.0 * np.pi / (r_c ** 3 * np.pi ** 1.5)
+    C, n1 = E.shape[0], E.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+    if E.shape[-1] == 3:
+        T = (E[:, :, None, :, 1] * E[:, None, :, :, 2]).reshape(
+            C, n1 * n1, -1)                       # (C, n1^2, K)
+        T = T * qa[:, None, :]
+        rho = jnp.einsum("cik,cjk->cij", E[..., 0], T, precision=hi)
+        return const * rho.reshape(C, n1 ** 3)
+    if E.shape[-1] == 2:
+        T = E[..., 1] * qa[:, None, :]
+        rho = jnp.einsum("cik,cjk->cij", E[..., 0], T, precision=hi)
+        return const * rho.reshape(C, n1 ** 2)
+    # 1-D
+    return const * jnp.einsum("cik,ck->ci", E[..., 0], qa, precision=hi)
+
+
+@_partial(jax.jit, static_argnames=("r_c",))
+def _density_lists_sep_jit(lower, h, x1, positions, charges, r_c, lists):
+    safe = jnp.maximum(lists, 0)
+    pos = positions[safe]                         # (C, K, dim)
+    qa = jnp.where(lists >= 0, charges[safe], 0.0)
+    xq = lower[:, None, :] + h[:, None, None] * x1[None, :, None]  # (C,n1,dim)
+    d = xq[:, :, None, :] - pos[:, None, :, :]    # (C, n1, K, dim)
+    E = jnp.exp(-(d * d) / (r_c * r_c))
+    return _sep_rho(E, qa, r_c)
+
+
+@_partial(jax.jit, static_argnames=("r_c",))
+def _density_dense_sep_jit(lower, h, x1, positions, charges, r_c, mask):
+    qa = charges[None, :] * mask                  # (C, A)
+    xq = lower[:, None, :] + h[:, None, None] * x1[None, :, None]
+    d = xq[:, :, None, :] - positions[None, None, :, :]
+    E = jnp.exp(-(d * d) / (r_c * r_c))
+    return _sep_rho(E, qa, r_c)
+
+
+@_partial(jax.jit, static_argnames=("r_c",))
+def _density_all_sep_jit(lower, h, x1, positions, charges, r_c):
+    C = lower.shape[0]
+    qa = jnp.broadcast_to(charges[None, :], (C, charges.shape[0]))
+    xq = lower[:, None, :] + h[:, None, None] * x1[None, :, None]
+    d = xq[:, :, None, :] - positions[None, None, :, :]
+    E = jnp.exp(-(d * d) / (r_c * r_c))
+    return _sep_rho(E, qa, r_c)
+
+
+def _tensor_rule_1d(points_ref: np.ndarray, dim: int):
+    """1-D Gauss abscissae if points_ref is their tensor-product grid
+    (axis 0 slowest, axis dim-1 fastest), else None."""
+    n_q = len(points_ref)
+    n1 = int(round(n_q ** (1.0 / dim)))
+    if n1 ** dim != n_q:
+        return None
+    grids = np.stack(np.meshgrid(*([np.arange(n1)] * dim), indexing="ij"),
+                     axis=-1).reshape(-1, dim)
+    x1 = points_ref[: n1, dim - 1] if dim > 1 else points_ref[: n1, 0]
+    rebuilt = x1[grids]
+    if np.allclose(rebuilt, points_ref, atol=1e-14):
+        return x1
+    return None
