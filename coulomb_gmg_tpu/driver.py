@@ -463,10 +463,16 @@ class Simulation:
             # matrix is memory-bandwidth bound); float64 parity runs keep
             # full precision
             f32 = dev is not None or self.dtype == jnp.float32
+            import time as _time
+            _t0 = _time.time()
             err = energy_norm_error(self.forest, self.tab_lap, self.solution,
                                     self.atoms.positions, self.atoms.charges,
                                     self.cfg.r_c, device=dev,
                                     dtype=np.float32 if f32 else None)
+            # elastic placement: a stalling shared-pool accelerator demotes
+            # subsequent cycles to the host (same policy as density/solve)
+            if dev is not None and _time.time() - _t0 > 120.0:
+                self.tpu_device = None
         self.pcout("Error in FE solution in energy norm:  " + sci10(err))
         return err
 
