@@ -203,8 +203,13 @@ def estimate(forest: Forest, cell2dof: np.ndarray, u, rho_q,
 
     est2 = eta2
     if use_volume_term and rho_q is not None:
-        # volume residual: (lap u_h + 4 pi rho~)^2; lap u_h == 0 for Q1
+        # volume residual: (lap u_h + 4 pi rho~)^2; lap u_h == 0 for Q1 on
+        # axis-aligned boxes, nonzero for higher degree
         temp = 4.0 * np.pi * np.asarray(rho_q, np.float64)
+        if degree > 1:
+            from coulomb_gmg_tpu.ops.q1 import lap_basis_at
+            lap = lap_basis_at(dim, degree, np.asarray(rhs_points_ref))
+            temp = temp + (ucell @ lap.T) / (h ** 2)[:, None]
         vol = (temp ** 2) @ np.asarray(rhs_weights)
         vol = vol * h ** dim
         est2 = est2 + diam ** 2 * vol

@@ -56,32 +56,30 @@ def old_cell_of_new(old: Forest, new: Forest) -> np.ndarray:
     return out
 
 
-def transfer_solution(old: Forest, new: Forest, u_old: np.ndarray) -> np.ndarray:
-    """Q1 interpolation of the old solution onto new-mesh dofs."""
+def transfer_solution(old: Forest, new: Forest, u_old: np.ndarray,
+                      degree: int = 1) -> np.ndarray:
+    """Q_degree interpolation of the old solution onto new-mesh dofs."""
     dim = old.dim
     omap = old_cell_of_new(old, new)
-    u_cell_old = np.asarray(u_old)[old.dofs.cell2dof[omap]]   # (n_new, nb)
-    # each new cell is either the old cell (t in {0,1}) or a child
-    # (t in {0,.5} + offsets) — evaluate old cell's interpolant at the new
-    # cell's vertices.
-    off = corner_offsets(dim).astype(np.float64)
+    odofs, ndofs = old.dofs_of(degree), new.dofs_of(degree)
+    u_cell_old = np.asarray(u_old)[odofs.cell2dof[omap]]   # (n_new, nb)
+    # each new cell is either the old cell or a child — evaluate the old
+    # cell's interpolant at the new cell's nodes.
+    from coulomb_gmg_tpu.mesh.forest import node_offsets
+    off = node_offsets(dim, degree).astype(np.float64) / degree
     new_lower = new.cell_lower()
     new_h = new.cell_h()
     old_lower = old.cell_lower(omap)
     old_h = old.cell_h(omap)
-    u_new = np.zeros(new.dofs.n_dofs)
-    nb = 2 ** dim
-    # reference coords of each new-cell vertex inside the old cell
+    u_new = np.zeros(ndofs.n_dofs)
+    nb = (degree + 1) ** dim
+    # reference coords of each new-cell node inside the old cell
     for v in range(nb):
         vp = new_lower + new_h[:, None] * off[v]
         t = (vp - old_lower) / old_h[:, None]
-        # Q1 shape values at t: product over axes
-        w = np.ones((new.n_cells, nb))
-        for pv in range(nb):
-            for d in range(dim):
-                w[:, pv] *= np.where(off[pv, d] == 1, t[:, d], 1.0 - t[:, d])
+        w = _basis_at(dim, degree, t)[0]                # (n_new, nb)
         vals = np.sum(w * u_cell_old, axis=1)
-        u_new[new.dofs.cell2dof[:, v]] = vals
+        u_new[ndofs.cell2dof[:, v]] = vals
     return u_new
 
 

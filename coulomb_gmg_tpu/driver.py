@@ -156,7 +156,7 @@ class Simulation:
         cfg = self.cfg
         f = self.forest
         with self.timer.scope("Setup system"):
-            dofs = f.dofs
+            dofs = f.dofs_of(cfg.degree)
         # workload-based placement: the accelerator pays a remote compile
         # per fresh shape, so only genuinely large cell x atom interactions
         # go there; small ones run on the host CPU backend in microseconds.
@@ -264,7 +264,7 @@ class Simulation:
             # from the level operators — skip host smoother construction
             smoother = "none" if self.use_tpu_cg else cfg.smoother
             self.gmg = build_gmg(
-                self.forest, self.forest.dofs, self.tab_lap,
+                self.forest, self.forest.dofs_of(cfg.degree), self.tab_lap,
                 coeff_fn=self.coeff_fn(), smoother=smoother,
                 smoother_damping=cfg.smoother_damping,
                 smoother_steps=cfg.smoother_steps,
@@ -316,7 +316,8 @@ class Simulation:
                     gmg_tpu = TpuGMG(
                         self.gmg, self.A, self.forest,
                         device=solve_dev, dtype=self.dtype,
-                        use_dst=(cfg.problem == "GaussianCharges"),
+                        use_dst=(cfg.problem == "GaussianCharges"
+                                 and cfg.degree == 1),
                         host_cache=self._tpu_host_cache)
                     x, k, res0, resf = gmg_tpu.solve(
                         rhs_np, x0_np, rtol=cfg.cg_rtol,
@@ -402,7 +403,8 @@ class Simulation:
             if not self.lammpsinput:
                 # analytic path uses the rhs function values in the residual
                 rho_q = self.rho
-            err = estimate(self.forest, self.forest.dofs.cell2dof,
+            err = estimate(self.forest,
+                           self.forest.dofs_of(cfg.degree).cell2dof,
                            jnp.asarray(self.solution), jnp.asarray(rho_q),
                            self.tab_rhs.points, self.tab_rhs.weights,
                            degree=cfg.degree)
@@ -424,7 +426,8 @@ class Simulation:
                     # children inherit the parent's padded atom list — the
                     # p4est attach/unpack semantics (src/step-50.cc:441-456)
                     self.lists = transfer_cell_mask(old, new, self.lists)
-            u_new = transfer_solution(old, new, self.solution)
+            u_new = transfer_solution(old, new, self.solution,
+                                      degree=cfg.degree)
             self.forest = new
             self.solution = u_new
         self.setup(cycle)
@@ -436,7 +439,7 @@ class Simulation:
         with self.timer.scope("Postprocess electrostatic energy"):
             e = electrostatic_energy(self.forest, self.solution,
                                      self.atoms.positions, self.atoms.charges,
-                                     self.cfg.r_c)
+                                     self.cfg.r_c, degree=self.cfg.degree)
         pc = self.pcout
         pc("\nTotal analytical electrostatic energy :   " + sci10(e["analytic"]))
         pc("Short-ranged energy contribution :  " + sci10(e["short_range"]))
@@ -485,8 +488,12 @@ class Simulation:
         cfg = self.cfg
         f = self.forest
         pos = f.dofs.positions
-        point_data = {"solution": self.solution,
-                      "grad_phi": nodal_gradient(f, self.solution)}
+        # VTU stays vertex-based: higher-degree solutions are restricted to
+        # their vertex values for visualization
+        from coulomb_gmg_tpu.mesh.dofs import restrict_to_vertices
+        u_vtx = restrict_to_vertices(f, f.dofs_of(cfg.degree), self.solution)
+        point_data = {"solution": u_vtx,
+                      "grad_phi": nodal_gradient(f, u_vtx)}
         if cfg.flag_analytical_solution and cfg.problem == "GaussianCharges":
             if self.lammpsinput and self.atoms.n < 10:
                 point_data["Analytical_Solution_atoms"] = np.asarray(
@@ -561,7 +568,7 @@ class Simulation:
             pc(f"   Number of active cells:       {self.forest.n_cells}")
             if cycle == 0:
                 self.setup(cycle)
-            dofs = self.forest.dofs
+            dofs = self.forest.dofs_of(cfg.degree)
             by_level = ", ".join(str(ld.n_dofs) for ld in dofs.levels)
             pc(f"   Number of degrees of freedom: {dofs.n_dofs} "
                f"(by level: {by_level})")

@@ -58,6 +58,20 @@ def corner_offsets(dim: int) -> np.ndarray:
     return out
 
 
+def node_offsets(dim: int, degree: int) -> np.ndarray:
+    """((degree+1)^dim, dim) Q_degree node offsets in units of the node
+    spacing, matching the element-table basis ordering (x fastest:
+    digit_d = (b // (p+1)^d) % (p+1), see ops/q1.py:element_tables).
+    degree 1 reduces to :func:`corner_offsets`."""
+    p1 = degree + 1
+    n = p1 ** dim
+    out = np.zeros((n, dim), dtype=np.int64)
+    for b in range(n):
+        for d in range(dim):
+            out[b, d] = (b // (p1 ** d)) % p1
+    return out
+
+
 def _canonical_order(base_reps: int, dim: int, level: np.ndarray,
                      ijk: np.ndarray) -> np.ndarray:
     """Tree-DFS order: base cell (x most significant), then refinement path
@@ -118,7 +132,22 @@ class Forest:
 
     def vkey(self, coords: np.ndarray) -> np.ndarray:
         """Linearize finest-lattice vertex coords (..., dim) -> int64 keys."""
-        m = self.fine_side + 1
+        return self.nkey(coords, 1)
+
+    def vkey_to_coords(self, keys: np.ndarray) -> np.ndarray:
+        return self.nkey_to_coords(keys, 1)
+
+    def vertex_position(self, coords: np.ndarray) -> np.ndarray:
+        """Physical position of finest-lattice vertex coords (..., dim)."""
+        return self.node_position(coords, 1)
+
+    # Q_degree node lattice: the finest cell lattice subdivided `degree`
+    # times per axis, so every Q_degree dof of every cell is an integer
+    # lattice point (degree 1 = the vertex lattice).
+
+    def nkey(self, coords: np.ndarray, degree: int) -> np.ndarray:
+        """Linearize node-lattice coords (..., dim) -> int64 keys."""
+        m = self.fine_side * degree + 1
         assert float(m) ** self.dim < 2 ** 62, "lattice too fine for int64 keys"
         coords = np.asarray(coords, dtype=np.int64)
         key = coords[..., 0]
@@ -126,8 +155,8 @@ class Forest:
             key = key * m + coords[..., d]
         return key
 
-    def vkey_to_coords(self, keys: np.ndarray) -> np.ndarray:
-        m = self.fine_side + 1
+    def nkey_to_coords(self, keys: np.ndarray, degree: int) -> np.ndarray:
+        m = self.fine_side * degree + 1
         keys = np.asarray(keys, dtype=np.int64)
         out = np.zeros(keys.shape + (self.dim,), dtype=np.int64)
         for d in range(self.dim - 1, -1, -1):
@@ -135,10 +164,10 @@ class Forest:
             keys = keys // m
         return out
 
-    def vertex_position(self, coords: np.ndarray) -> np.ndarray:
-        """Physical position of finest-lattice vertex coords (..., dim)."""
-        hf = self.h0 / (1 << self.max_level)
-        return self.lower + hf * np.asarray(coords, dtype=np.float64)
+    def node_position(self, coords: np.ndarray, degree: int) -> np.ndarray:
+        """Physical position of node-lattice coords (..., dim)."""
+        hn = self.h0 / ((1 << self.max_level) * degree)
+        return self.lower + hn * np.asarray(coords, dtype=np.float64)
 
     def level_cell_key(self, level, ijk: np.ndarray) -> np.ndarray:
         """Linearized per-level cell key (no level tag; caller keeps levels
@@ -259,9 +288,19 @@ class Forest:
     # ---------------------------------------------------- DoF enumeration
 
     @cached_property
+    def _dof_cache(self) -> dict:
+        return {}
+
+    def dofs_of(self, degree: int = 1):
+        """Q_degree DoF enumeration for this forest (cached per degree)."""
+        if degree not in self._dof_cache:
+            from coulomb_gmg_tpu.mesh.dofs import build_dofs
+            self._dof_cache[degree] = build_dofs(self, degree)
+        return self._dof_cache[degree]
+
+    @property
     def dofs(self):
-        from coulomb_gmg_tpu.mesh.dofs import build_dofs
-        return build_dofs(self)
+        return self.dofs_of(1)
 
     # --------------------------------------------------------- level mesh
 

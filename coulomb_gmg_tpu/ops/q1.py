@@ -188,3 +188,48 @@ def basis_at(dim: int, degree: int, pts: np.ndarray):
     analogue of ``GridTools::find_active_cell_around_point`` + ``FEValues``
     at an arbitrary point, src/step-50.cc:1353-1363)."""
     return _basis_at(dim, degree, pts)
+
+
+def _lagrange_eval2(nodes: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Second derivatives of the 1-D Lagrange basis at points x: (m, p+1)."""
+    m, p1 = len(x), len(nodes)
+    d2 = np.zeros((m, p1))
+    for i in range(p1):
+        for k in range(p1):
+            if k == i:
+                continue
+            for kk in range(p1):
+                if kk in (i, k):
+                    continue
+                term = np.ones(m) / ((nodes[i] - nodes[k])
+                                     * (nodes[i] - nodes[kk]))
+                for j in range(p1):
+                    if j in (i, k, kk):
+                        continue
+                    term *= (x - nodes[j]) / (nodes[i] - nodes[j])
+                d2[:, i] += term
+    return d2
+
+
+def lap_basis_at(dim: int, degree: int, pts: np.ndarray) -> np.ndarray:
+    """Reference-cell Laplacian of the Q_degree basis at arbitrary points:
+    (m, n_basis) with lap_b = sum_d d2phi_b/dx_d^2 (physical Laplacian =
+    this / h^2 on a cube of size h).  Identically zero for degree 1 — the
+    volume-residual term of the Kelly estimator needs it for higher degree
+    (the reference evaluates solution Hessians, src/step-50.cc:1052-1082)."""
+    nodes = lagrange_nodes_1d(degree)
+    p1 = degree + 1
+    n_basis = p1 ** dim
+    m = len(pts)
+    out = np.zeros((m, n_basis))
+    per_val = [_lagrange_eval(nodes, pts[:, d])[0] for d in range(dim)]
+    per_d2 = [_lagrange_eval2(nodes, pts[:, d]) for d in range(dim)]
+    for b in range(n_basis):
+        digits = [(b // (p1 ** d)) % p1 for d in range(dim)]
+        for g in range(dim):
+            term = np.ones(m)
+            for d in range(dim):
+                tab = per_d2[d] if d == g else per_val[d]
+                term *= tab[:, digits[d]]
+            out[:, b] += term
+    return out

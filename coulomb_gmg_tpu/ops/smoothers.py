@@ -158,8 +158,12 @@ class MGSmoother:
 
 def lattice_color(forest, level_dofs) -> np.ndarray:
     """2^dim-coloring of level dofs by parity of their lattice coords at the
-    level's resolution."""
-    coords = forest.vkey_to_coords(level_dofs.keys)
+    level's resolution.  For Q_p the node lattice is p-times finer; parity is
+    taken at the per-cell-node resolution (s = node spacing), which still
+    decouples same-colored nodes for Q1; for p > 1 it is a heuristic
+    coloring (use jacobi/chebyshev there)."""
+    p = getattr(level_dofs, "degree", 1)
+    coords = forest.nkey_to_coords(level_dofs.keys, p)
     s = 1 << (forest.max_level - level_dofs.level)
     par = (coords // s) & 1
     color = np.zeros(len(coords), dtype=np.int64)

@@ -60,20 +60,21 @@ def point_values(forest: Forest, u: np.ndarray, points: np.ndarray,
     lower = forest.cell_lower(cells)
     h = forest.cell_h(cells)
     t = (points - lower) / h[:, None]
-    ucell = np.asarray(u)[forest.dofs.cell2dof[cells]]
+    ucell = np.asarray(u)[forest.dofs_of(degree).cell2dof[cells]]
     phi = np.asarray(basis_at(forest.dim, degree, t)[0])   # (n_pts, nb)
     return np.sum(phi * ucell, axis=1)
 
 
 def electrostatic_energy(forest: Forest, u: np.ndarray, positions: np.ndarray,
-                         charges: np.ndarray, r_c: float) -> Dict[str, float]:
+                         charges: np.ndarray, r_c: float,
+                         degree: int = 1) -> Dict[str, float]:
     d = positions[:, None, :] - positions[None, :, :]
     r = np.sqrt((d * d).sum(-1))
     iu = np.triu_indices(len(charges), 1)
     qq = np.outer(charges, charges)
     analytic = float((qq[iu] / r[iu]).sum())
     short = float((qq[iu] * erfc(r[iu] / r_c) / r[iu]).sum())
-    phi_at_atoms = point_values(forest, u, positions)
+    phi_at_atoms = point_values(forest, u, positions, degree=degree)
     fe_long = float(0.5 * np.sum(charges * phi_at_atoms))
     self_e = float(np.sum(charges ** 2) / (np.sqrt(np.pi) * r_c))
     total_split = short + fe_long - self_e
@@ -129,7 +130,7 @@ def energy_norm_error(forest: Forest, tables: ElementTables, u,
 
     h = forest.cell_h()
     lower = forest.cell_lower()
-    ucell = np.asarray(u)[forest.dofs.cell2dof]         # (c, nb)
+    ucell = np.asarray(u)[forest.dofs_of(tables.degree).cell2dof]  # (c, nb)
     dphi = put(tables.dphi)
     pref = put(tables.points)
     w = put(tables.weights)

@@ -76,37 +76,45 @@ def build_interface_csr(plan: AssemblyPlan, ld: LevelDofs, k_cells,
 
 def build_prolongation(forest: Forest, dofs: DofInfo, l: int) -> CSR:
     """P_l: level l-1 -> level l embedding.  Each level-l dof interpolates
-    trilinearly inside a parent level-(l-1) cell (Q1 2^dim-point stencil,
-    the analogue of ``MGTransferPrebuilt::build_matrices``,
-    src/step-50.cc:957-958)."""
+    through the parent level-(l-1) cell's Q_p basis (Q1: the trilinear
+    2^dim-point stencil; the analogue of
+    ``MGTransferPrebuilt::build_matrices``, src/step-50.cc:957-958)."""
     dim = forest.dim
+    p = dofs.degree
     ld, lc = dofs.levels[l], dofs.levels[l - 1]
     level_ijk, _ = forest.level_cells[l]
     # parent level cell + child offset per level-l cell
     parent = level_ijk // 2
     child = (level_ijk & 1).astype(np.int64)            # (m, dim)
-    # parent level-dof ids of the parent's corners
+    # parent level-dof ids of the parent's nodes
     side = forest.side(l - 1)
     par_key = forest.level_cell_key(l - 1, parent)
     pc_ijk, _ = forest.level_cells[l - 1]
     pc_key = forest.level_cell_key(l - 1, pc_ijk)
     order = np.argsort(pc_key)
     ppos = order[np.searchsorted(pc_key[order], par_key)]
-    parent_dofs = lc.cell2dof[ppos]                      # (m, 2^dim)
+    parent_dofs = lc.cell2dof[ppos]                      # (m, (p+1)^dim)
 
-    from coulomb_gmg_tpu.mesh.forest import corner_offsets
-    off = corner_offsets(dim)
-    nb = 2 ** dim
+    from coulomb_gmg_tpu.mesh.forest import node_offsets
+    from coulomb_gmg_tpu.ops.q1 import lagrange_nodes_1d, _lagrange_eval
+    off = node_offsets(dim, p)
+    nb = (p + 1) ** dim
+    # 1D parent-basis values at the child-node fractions (c + a/p)/2 for
+    # parity c in {0,1} and node digit a in 0..p: val1d[c, a, j]
+    nodes1 = lagrange_nodes_1d(p)
+    tvals = np.array([[(c + a / p) / 2.0 for a in range(p + 1)]
+                      for c in (0, 1)])
+    val1d = np.stack([_lagrange_eval(nodes1, tvals[c])[0] for c in (0, 1)])
     rows, cols, vals = [], [], []
     for v in range(nb):
-        # level-l dof v of each level-l cell at parent-relative coords t
-        t = (child + off[v]) * 0.5                       # (m, dim) in [0,1]
+        digits_v = [(v // ((p + 1) ** d)) % (p + 1) for d in range(dim)]
         child_dof = ld.cell2dof[:, v]
         for pv in range(nb):
+            digits_p = [(pv // ((p + 1) ** d)) % (p + 1) for d in range(dim)]
             w = np.ones(len(level_ijk))
             for d in range(dim):
-                w = w * np.where(off[pv, d] == 1, t[:, d], 1.0 - t[:, d])
-            nz = w > 0
+                w = w * val1d[child[:, d], digits_v[d], digits_p[d]]
+            nz = w != 0.0
             rows.append(child_dof[nz])
             cols.append(parent_dofs[nz, pv])
             vals.append(w[nz])
