@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--cycles", type=int, default=5)
     ap.add_argument("--tpu", action="store_true",
                     help="allow the accelerator backend (default: host)")
+    ap.add_argument("--timers", action="store_true",
+                    help="print the per-stage walltime table after each size")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -79,6 +81,8 @@ def main():
             "ref_debug_s": ref,
             "speedup_vs_ref": round(ref / wall, 2) if ref else None,
         }), flush=True)
+        if args.timers:
+            sim.timer.summary(print)
 
 
 if __name__ == "__main__":
