@@ -143,6 +143,54 @@ def main():
     except Exception as ex:  # pragma: no cover
         results.append({"kernel": "density_pallas_mxu", "error": str(ex)[:200]})
 
+    # ---------------- smoother sweep ----------------
+    # damped-Jacobi step: x += w D^-1 (b - A x)  -> one SpMV + 3 streams
+    inv_diag = jnp.asarray(0.6 / 6.0 * np.ones(e.n_rows, np.float32))
+    b = jnp.asarray(np.pad(x, (0, e.n_rows - n)))
+
+    @jax.jit
+    def jacobi_step(xv):
+        return xv + inv_diag * (b - ell_matvec(ec, ev, xv))
+
+    t = timeit(jacobi_step, xp)
+    report("smoother_jacobi_step", t, nnz, "nnz/s", HBM_BW / 12)
+
+    # 2-color Gauss-Seidel sweep (red/black on the 7-point operator):
+    # two masked half-updates, each a full SpMV
+    idx3 = np.indices((args.side,) * 3).sum(0).ravel() & 1
+    red = jnp.asarray(np.pad(idx3 == 0, (0, e.n_rows - n)).astype(np.float32))
+    black = jnp.asarray(np.pad(idx3 == 1, (0, e.n_rows - n)).astype(np.float32))
+
+    @jax.jit
+    def gs2_sweep(xv):
+        xv = xv + red * inv_diag * (b - ell_matvec(ec, ev, xv))
+        xv = xv + black * inv_diag * (b - ell_matvec(ec, ev, xv))
+        return xv
+
+    t = timeit(gs2_sweep, xp)
+    report("smoother_2color_gs_sweep", t, 2 * nnz, "nnz/s", HBM_BW / 12)
+
+    # ---------------- MG transfer (prolongation / restriction) ----------
+    from coulomb_gmg_tpu.mesh.forest import Forest
+    from coulomb_gmg_tpu.solver.multigrid import build_prolongation
+    from coulomb_gmg_tpu.ops.spmv import csr_matvec, csr_matvec_T
+    side_c = max(args.side // 2, 2)
+    fo = Forest.hyper_cube(3, 0.0, 1.0, 1)   # ensure >= 2 levels
+    fo = Forest.uniform(3, side_c, np.zeros(3), 1.0 / side_c).refine(
+        np.ones(side_c ** 3, dtype=bool))
+    dofs = fo.dofs
+    P = build_prolongation(fo, dofs, 1)
+    pr, pc_, pv = map(jnp.asarray, (P.rowids, P.indices, P.data))
+    xc = jnp.asarray(np.random.default_rng(2).standard_normal(
+        P.n_cols).astype(np.float32))
+    xf = jnp.asarray(np.random.default_rng(3).standard_normal(
+        P.n_rows).astype(np.float32))
+    pvf = pv.astype(jnp.float32)
+    t = timeit(jax.jit(lambda v: csr_matvec(pr, pc_, pvf, v, P.n_rows)), xc)
+    report("transfer_prolongate", t, len(P.data), "nnz/s", HBM_BW / 12)
+    t = timeit(jax.jit(lambda v: csr_matvec_T(pr, pc_, pvf, v, P.n_cols)), xf)
+    report("transfer_restrict", t, len(P.data), "nnz/s", HBM_BW / 12)
+
     # ---------------- report ----------------
     if args.json:
         for r in results:
