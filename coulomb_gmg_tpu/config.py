@@ -117,6 +117,16 @@ class Config:
             raise ValueError("Only 2d and 3d dimensions are supported.")
         if self.degree < 1:
             raise ValueError("Polynomial degree must be >= 1")
+        if self.smoother == "mc_ssor" and self.degree > 1:
+            # 2^dim parity coloring only decouples Q1 stencils; same-color
+            # Q_p (p>1) nodes are coupled, degrading the sweep to damped
+            # Jacobi on those couplings (ops/smoothers.py:lattice_color).
+            import warnings
+            warnings.warn(
+                "smoother='mc_ssor' uses parity coloring that is exact only "
+                "for degree 1; falling back to 'chebyshev' for degree "
+                f"{self.degree}", stacklevel=2)
+            object.__setattr__(self, "smoother", "chebyshev")
 
     def replace(self, **kwargs) -> "Config":
         return dataclasses.replace(self, **kwargs)

@@ -142,7 +142,9 @@ class Simulation:
             return None
         if cfg.boundary_conditions == "Inhomogeneous":
             dip = self.dipole
-            Q = np.zeros((cfg.dim, cfg.dim))
+            Q = getattr(self, "quadrupole", None)
+            if Q is None:
+                Q = np.zeros((cfg.dim, cfg.dim))
             return lambda pts: np.asarray(P.nonzero_dbc(
                 jnp.asarray(pts), np.zeros(cfg.dim), dip, Q))
         # Exact
@@ -209,13 +211,16 @@ class Simulation:
                 self.dipole = compute_dipole_moment(self.atoms.positions,
                                                     self.atoms.charges)
                 # quadrupole: the reference integrates it by quadrature and
-                # then explicitly zeroes it (src/step-50.cc:595-624), so the
-                # integral is dead work; skipped unless asked for.
+                # then explicitly zeroes it (src/step-50.cc:595-624), so its
+                # Inhomogeneous BCs are dipole-only in practice.  Default off
+                # reproduces that (zero quadrupole); enabling the flag keeps
+                # the integral and feeds it to the multipole BC expansion.
                 if cfg.flag_compute_quadrupole:
                     self.quadrupole = P.quadrupole_from_forest(
                         f, self.tab_rhs.points, self.tab_rhs.weights,
                         self.rho)
-                self.quadrupole = np.zeros((cfg.dim, cfg.dim))
+                else:
+                    self.quadrupole = np.zeros((cfg.dim, cfg.dim))
         else:
             # analytic RHS path (lammpsinput == 0)
             pts = cell_quad_points(f, self.tab_rhs.points)

@@ -29,6 +29,24 @@ def gauss_rule(n: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def lagrange_nodes_1d(degree: int) -> np.ndarray:
+    """Equidistant support points, ALL degrees — a deliberate deviation
+    from deal.II's FE_Q (Gauss-Lobatto points for degree >= 3).
+
+    The span (the FE space) is identical either way, so cells/DoF counts,
+    energies and energy-norm errors match the reference for every degree;
+    only the meaning of individual coefficients — and hence the logged
+    solution/rhs VECTOR norms — differs for p >= 3 (they agree exactly for
+    p <= 2, where Gauss-Lobatto == equidistant; all golden suites are p=1).
+
+    Why not Gauss-Lobatto: DoF identity here is a uniform integer node
+    lattice (mesh/dofs.py) — a hanging fine-side node whose lattice key is
+    an even multiple of the half-spacing coincides GEOMETRICALLY with a
+    coarse node only for equidistant nodes, which is what lets the lattice
+    merge them into one DoF (the exact analogue of deal.II's weight-1.0
+    hanging constraint).  Gauss-Lobatto would alias two distinct continuum
+    points under one key, so it needs entity-based DoF identification, not
+    a lattice.  Equidistant conditioning is acceptable through the p <= 4
+    range the reference exercises."""
     return np.linspace(0.0, 1.0, degree + 1)
 
 

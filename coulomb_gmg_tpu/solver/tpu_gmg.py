@@ -320,13 +320,17 @@ def _power_lmax(csr, inv_diag, n: int, iters: int = 15):
     return float(lam)
 
 
-def _hc_get(hc, key_obj, tag, build):
+def _hc_get(hc, key_obj, tag, build, touched=None):
     """Host cache keyed on (tag, identity of key_obj).  The stored strong
     reference to key_obj keeps its id() from being recycled, so an entry can
-    never alias a different (freed) object."""
+    never alias a different (freed) object.  ``touched`` collects the keys
+    used by the current construction so stale entries (superseded fine
+    levels from earlier adaptive cycles) can be evicted afterwards."""
     if hc is None:
         return build()
     k = (tag, id(key_obj))
+    if touched is not None:
+        touched.add(k)
     ent = hc.get(k)
     if ent is not None and ent[0] is key_obj:
         return ent[1]
@@ -369,6 +373,7 @@ class TpuGMG:
             if device is not None else (lambda a: jnp.asarray(a))
         self._put = put
         pk = _Packer(self.np_dtype)
+        _hc_touched = set()   # keys used this build; stale ones are evicted
 
         # DST eligibility decided up front: level 0 is a full uniform box
         # of base cells for both problem meshes; the separable direct solve
@@ -408,7 +413,7 @@ class TpuGMG:
 
             inv_diag, ell, lmax = _hc_get(
                 host_cache, A, ("lvl", str(self.np_dtype), have_dst and l == 0),
-                _diag_spec)
+                _diag_spec, touched=_hc_touched)
             h_ell = (pk.i(ell[0]), pk.f(ell[1])) if ell is not None else None
             lmin = lmax / smoothing_range
             theta = np.asarray(0.5 * (lmax + lmin), self.np_dtype)
@@ -432,7 +437,7 @@ class TpuGMG:
 
                 ic, iv, itc, itv = _hc_get(host_cache, I,
                                            ("if", str(self.np_dtype)),
-                                           _if_spec)
+                                           _if_spec, touched=_hc_touched)
                 h_if = (pk.i(ic), pk.f(iv))
                 h_ifT = (pk.i(itc), pk.f(itv))
 
@@ -457,7 +462,7 @@ class TpuGMG:
 
                 pc, pv, rc, rv = _hc_get(host_cache, P,
                                          ("pro", str(self.np_dtype)),
-                                         _p_spec)
+                                         _p_spec, touched=_hc_touched)
                 h_p = (pk.i(pc), pk.f(pv))
                 h_r = (pk.i(rc), pk.f(rv))
 
@@ -469,6 +474,14 @@ class TpuGMG:
                 h_cg=pk.i(_pad_idx(gmg.copy_global[l], self.n_pad - 1)),
                 h_cl=pk.i(_pad_idx(gmg.copy_level[l], nl_pad - 1)),
             ))
+
+        # evict cache entries not referenced by this build: fine-level
+        # CSRs are rebuilt every adaptive cycle, so their superseded
+        # ELL/spectrum entries (and the CSR objects they pin) would
+        # otherwise accumulate for the whole run.
+        if host_cache is not None:
+            for k in [k for k in host_cache if k not in _hc_touched]:
+                del host_cache[k]
 
         # ---- coarse solver (host precompute)
         self.dst = None

@@ -22,7 +22,9 @@ from coulomb_gmg_tpu.config import golden_gaussian_config
 from coulomb_gmg_tpu.driver import Simulation
 from coulomb_gmg_tpu.models.atoms import two_atom_pair
 
-N_CYCLES = int(os.environ.get("GOLDEN_CYCLES", "2"))
+# the full 6-cycle golden trajectory is the central fidelity claim — it is
+# what CI checks by default; set GOLDEN_CYCLES to shorten during iteration.
+N_CYCLES = int(os.environ.get("GOLDEN_CYCLES", "6"))
 
 
 @pytest.fixture(scope="module")
