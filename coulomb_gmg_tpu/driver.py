@@ -111,6 +111,16 @@ class Simulation:
                             self.tpu_device is not None and
                             self.dtype == jnp.float32))
 
+        # multi-device SPMD: the production domain-decomposition path
+        # (parallel/spmd.py) — sharded density/assembly/FE-error over SFC
+        # cell blocks, ShardedGMG (or sharded Jacobi-CG) solve.
+        self.spmd = None
+        if cfg.n_devices > 1:
+            from coulomb_gmg_tpu.parallel.spmd import SpmdContext
+            self.spmd = SpmdContext(cfg.n_devices)
+            self.use_tpu_cg = False
+            self.tpu_device = None
+
     # ------------------------------------------------------------ meshing
 
     def make_initial_mesh(self) -> Forest:
@@ -194,13 +204,23 @@ class Simulation:
                 eff_atoms = (self.lists.shape[1] if self.lists is not None
                              and cfg.flag_rhs_assembly else n_atoms)
                 work = f.n_cells * len(self.tab_rhs.points) * eff_atoms
-                self.rho = compute_density(
-                    f, self.tab_rhs.points, self.atoms.positions,
-                    self.atoms.charges, cfg.r_c,
-                    mask=self.mask if cfg.flag_rhs_assembly else None,
-                    lists=self.lists if cfg.flag_rhs_assembly else None,
-                    dtype=np.float32 if self.use_tpu_cg else None,
-                    device=hot_device(work))
+                if self.spmd is not None:
+                    # device-sharded cell blocks, production kernel math
+                    self.rho = self.spmd.density(
+                        f, self.tab_rhs.points, self.atoms.positions,
+                        self.atoms.charges, cfg.r_c,
+                        mask=self.mask if cfg.flag_rhs_assembly else None,
+                        lists=self.lists if cfg.flag_rhs_assembly else None,
+                        dtype=np.float32 if self.dtype == jnp.float32
+                        else np.float64)
+                else:
+                    self.rho = compute_density(
+                        f, self.tab_rhs.points, self.atoms.positions,
+                        self.atoms.charges, cfg.r_c,
+                        mask=self.mask if cfg.flag_rhs_assembly else None,
+                        lists=self.lists if cfg.flag_rhs_assembly else None,
+                        dtype=np.float32 if self.use_tpu_cg else None,
+                        device=hot_device(work))
                 # elastic placement (see solve): a stalling shared-pool
                 # accelerator demotes subsequent cycles to the host.
                 if (self.tpu_device is not None
@@ -239,11 +259,6 @@ class Simulation:
         cfg = self.cfg
         f = self.forest
         with self.timer.scope("Assemble system"):
-            # host numpy path: per-cycle topology shapes are fresh every
-            # cycle, so eager XLA would pay a compile per primitive per
-            # cycle; see fem/assembly.py:assemble_np.
-            from coulomb_gmg_tpu.fem.integrals import (stiffness_cells_np,
-                                                       rhs_cells_np)
             np_dtype = np.float32 if self.dtype == jnp.float32 else np.float64
             h = f.cell_h()
             coeff_fn = self.coeff_fn()
@@ -251,10 +266,24 @@ class Simulation:
             if coeff_fn is not None:
                 pts = cell_quad_points(f, self.tab_lap.points)
                 coeff_q = np.asarray(coeff_fn(jnp.asarray(pts)))
-            K = stiffness_cells_np(self.tab_lap, h, coeff_q, dtype=np_dtype)
-            Fv = rhs_cells_np(self.tab_rhs, h, np.asarray(self.rho),
-                              dtype=np_dtype)
-            data, rhs = assemble_np(self.plan, K, Fv, dtype=np_dtype)
+            if self.spmd is not None:
+                # distributed assembly: per-device element tensors +
+                # psum compress (parallel/spmd.py:build_assembler)
+                asm = self.spmd.build_assembler(
+                    self.plan, self.tab_lap, self.tab_rhs,
+                    has_coeff=coeff_fn is not None, np_dtype=np_dtype)
+                data, rhs = asm(h, coeff_q, np.asarray(self.rho))
+            else:
+                # host numpy path: per-cycle topology shapes are fresh every
+                # cycle, so eager XLA would pay a compile per primitive per
+                # cycle; see fem/assembly.py:assemble_np.
+                from coulomb_gmg_tpu.fem.integrals import (stiffness_cells_np,
+                                                           rhs_cells_np)
+                K = stiffness_cells_np(self.tab_lap, h, coeff_q,
+                                       dtype=np_dtype)
+                Fv = rhs_cells_np(self.tab_rhs, h, np.asarray(self.rho),
+                                  dtype=np_dtype)
+                data, rhs = assemble_np(self.plan, K, Fv, dtype=np_dtype)
             self.A = CSR.from_pattern(self.plan.pattern.indptr,
                                       self.plan.pattern.indices,
                                       jnp.asarray(data))
@@ -265,9 +294,10 @@ class Simulation:
         if not hasattr(self, "_gmg_cache"):
             self._gmg_cache = {}
         with self.timer.scope("Assemble Multigrid"):
-            # the TpuGMG solve path builds its own (Chebyshev) smoothers
-            # from the level operators — skip host smoother construction
-            smoother = "none" if self.use_tpu_cg else cfg.smoother
+            # the TpuGMG/ShardedGMG solve paths build their own (Chebyshev)
+            # smoothers from the level operators — skip host smoothers
+            smoother = ("none" if self.use_tpu_cg or self.spmd is not None
+                        else cfg.smoother)
             self.gmg = build_gmg(
                 self.forest, self.forest.dofs_of(cfg.degree), self.tab_lap,
                 coeff_fn=self.coeff_fn(), smoother=smoother,
@@ -302,6 +332,67 @@ class Simulation:
             if self.solution is not None and len(self.solution) == self.A.n_rows:
                 x0 = jnp.asarray(self.solution, dtype=self.dtype)
             import jax
+            if self.spmd is not None:
+                x0_np = None
+                if self.solution is not None and \
+                        len(self.solution) == self.A.n_rows:
+                    x0_np = self.solution
+                if cfg.preconditioner == "GMG":
+                    # SPMD GMG-CG: every level row-partitioned over the
+                    # device mesh, redundant coarse solve, psum dots
+                    # (parallel/sharded_gmg.py; src/step-50.cc:722-731,
+                    # 938-992)
+                    from coulomb_gmg_tpu.parallel.sharded_gmg import ShardedGMG
+                    sg = ShardedGMG(self.gmg, self.A, self.spmd.mesh,
+                                    dtype=self.dtype,
+                                    maxiter=cfg.cg_max_iters)
+                    x, k, res0, resf = sg.solve(rhs_np, x0_np,
+                                                rtol=cfg.cg_rtol)
+                else:
+                    # SPMD Jacobi-CG (src/step-50.cc:996-1005)
+                    from coulomb_gmg_tpu.parallel.sharded import (
+                        ShardedCSR, sharded_diag, make_sharded_solver,
+                        shard_vector)
+                    np_dtype = (np.float32 if self.dtype == jnp.float32
+                                else np.float64)
+                    As = ShardedCSR.from_coo(
+                        self.A.rowids, np.asarray(self.A.indices),
+                        np.asarray(self.A.data, np_dtype),
+                        self.A.n_rows, self.spmd.D)
+                    diag = sharded_diag(As, self.spmd.D)
+                    solver = make_sharded_solver(
+                        self.spmd.mesh, As, jnp.asarray(diag),
+                        tol_rtol=cfg.cg_rtol, maxiter=cfg.cg_max_iters * 10,
+                        damping=cfg.jacobi_damping)
+                    rhs_b = jnp.asarray(shard_vector(
+                        np.asarray(rhs_np, np_dtype), self.spmd.D))
+                    x0_b = (jnp.asarray(shard_vector(
+                        np.asarray(x0_np, np_dtype), self.spmd.D))
+                        if x0_np is not None else jnp.zeros_like(rhs_b))
+                    xb, k, res0, resf = solver(rhs_b, x0_b)
+                    x = np.asarray(xb).reshape(-1)[: self.A.n_rows]
+                    k, res0, resf = int(k), float(res0), float(resf)
+                pc("   Starting value " + fix10(res0))
+                pc(f"   CG converged in {k} iterations.")
+                pc("   Convergence value " + sci10(resf))
+                pc("   L1 solution norm " + sci10(np.abs(x).sum()))
+                pc("   L2 solution norm " + sci10(np.linalg.norm(x)))
+                pc("   LInfinity solution norm " + sci10(np.abs(x).max()))
+                self.solution = distribute(self.constraints, x)
+                self.cg_iterations = int(k)
+                self.cg_start = float(res0)
+                self.norms = {
+                    "l1_rhs": float(np.abs(rhs_np).sum()),
+                    "l2_rhs": float(np.linalg.norm(rhs_np)),
+                    "linf_rhs": float(np.abs(rhs_np).max()),
+                    "l1_mat": float(colsum.max()),
+                    "linf_mat": float(rowsum.max()),
+                    "fro_mat": float(np.sqrt((data ** 2).sum())),
+                    "l1_sol": float(np.abs(x).sum()),
+                    "l2_sol": float(np.linalg.norm(x)),
+                    "linf_sol": float(np.abs(x).max()),
+                }
+                return
             if self.use_tpu_cg:
                 x0_np = None
                 if self.solution is not None and \
@@ -442,9 +533,19 @@ class Simulation:
 
     def postprocess_energy(self):
         with self.timer.scope("Postprocess electrostatic energy"):
-            e = electrostatic_energy(self.forest, self.solution,
-                                     self.atoms.positions, self.atoms.charges,
-                                     self.cfg.r_c, degree=self.cfg.degree)
+            if self.spmd is not None:
+                # shard-ownership point-evaluation dedup
+                # (src/step-50.cc:1334-1398)
+                from coulomb_gmg_tpu.parallel.spmd import (
+                    electrostatic_energy_spmd)
+                e = electrostatic_energy_spmd(
+                    self.spmd, self.forest, self.solution,
+                    self.atoms.positions, self.atoms.charges, self.cfg.r_c,
+                    degree=self.cfg.degree)
+            else:
+                e = electrostatic_energy(
+                    self.forest, self.solution, self.atoms.positions,
+                    self.atoms.charges, self.cfg.r_c, degree=self.cfg.degree)
         pc = self.pcout
         pc("\nTotal analytical electrostatic energy :   " + sci10(e["analytic"]))
         pc("Short-ranged energy contribution :  " + sci10(e["short_range"]))
@@ -473,10 +574,17 @@ class Simulation:
             f32 = dev is not None or self.dtype == jnp.float32
             import time as _time
             _t0 = _time.time()
-            err = energy_norm_error(self.forest, self.tab_lap, self.solution,
-                                    self.atoms.positions, self.atoms.charges,
-                                    self.cfg.r_c, device=dev,
-                                    dtype=np.float32 if f32 else None)
+            if self.spmd is not None:
+                err = self.spmd.energy_norm_error(
+                    self.forest, self.tab_lap, self.solution,
+                    self.atoms.positions, self.atoms.charges, self.cfg.r_c,
+                    dtype=np.float32 if f32 else None)
+            else:
+                err = energy_norm_error(
+                    self.forest, self.tab_lap, self.solution,
+                    self.atoms.positions, self.atoms.charges,
+                    self.cfg.r_c, device=dev,
+                    dtype=np.float32 if f32 else None)
             # elastic placement: a stalling shared-pool accelerator demotes
             # subsequent cycles to the host (same policy as density/solve)
             if dev is not None and _time.time() - _t0 > 120.0:
@@ -515,7 +623,9 @@ class Simulation:
                 P.gaussian_rhs(jnp.asarray(pos), cfg.r_c)
                 if cfg.problem == "GaussianCharges"
                 else P.step16_rhs(jnp.asarray(pos)))
-        cell_data = {"subdomain": np.zeros(f.n_cells)}
+        owners = (self.spmd.owners(f.n_cells) if self.spmd is not None
+                  else np.zeros(f.n_cells, np.int32))
+        cell_data = {"subdomain": owners.astype(np.float64)}
         if self.error_per_cell is not None and \
                 len(self.error_per_cell) == f.n_cells:
             cell_data["error_indicator"] = self.error_per_cell
@@ -524,11 +634,19 @@ class Simulation:
             for i in range(self.atoms.n):
                 cell_data[f"support_{i}"] = self.mask[:, i].astype(np.float64)
         base = os.path.join(cfg.output_dir, f"solution-{cycle:05d}")
-        piece = f"{base}.0000.vtu"
-        write_vtu(piece, f, point_data, cell_data)
-        write_pvtu(f"{base}.pvtu", [piece], point_names=list(point_data),
+        # one VTU piece per shard with the shard's own cells — the
+        # reference's per-rank pieces + master records
+        # (src/step-50.cc:1252-1307)
+        D = self.spmd.D if self.spmd is not None else 1
+        pieces = []
+        for d in range(D):
+            piece = f"{base}.{d:04d}.vtu"
+            cells = np.where(owners == d)[0] if D > 1 else None
+            write_vtu(piece, f, point_data, cell_data, cells=cells)
+            pieces.append(piece)
+        write_pvtu(f"{base}.pvtu", pieces, point_names=list(point_data),
                    cell_names=list(cell_data))
-        write_visit_record(f"{base}.visit", [piece])
+        write_visit_record(f"{base}.visit", pieces)
 
     # ---------------------------------------------------------------- run
 

@@ -27,13 +27,22 @@ _VTK_ORDER = {2: [0, 1, 3, 2], 3: [0, 1, 3, 2, 4, 5, 7, 6]}
 
 def write_vtu(path: str, forest: Forest,
               point_data: Optional[Dict[str, np.ndarray]] = None,
-              cell_data: Optional[Dict[str, np.ndarray]] = None) -> None:
+              cell_data: Optional[Dict[str, np.ndarray]] = None,
+              cells: Optional[np.ndarray] = None) -> None:
+    """One VTU piece.  ``cells`` restricts the piece to a cell subset —
+    the per-rank piece of the reference's parallel output
+    (src/step-50.cc:1252-1297); the full point list is shared."""
     dofs = forest.dofs
     pts = dofs.positions
     if forest.dim == 2:
         pts = np.concatenate([pts, np.zeros((len(pts), 1))], axis=1)
     conn = dofs.cell2dof[:, _VTK_ORDER[forest.dim]]
-    n_pts, n_cells = len(pts), forest.n_cells
+    if cells is not None:
+        cells = np.asarray(cells)
+        conn = conn[cells]
+        cell_data = {k: np.asarray(v)[cells]
+                     for k, v in (cell_data or {}).items()}
+    n_pts, n_cells = len(pts), len(conn)
     nb = conn.shape[1]
 
     with open(path, "w") as f:

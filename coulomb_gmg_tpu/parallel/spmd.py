@@ -1,0 +1,349 @@
+"""Production SPMD context: the driver's multi-device execution path.
+
+The TPU-native equivalent of the reference's end-to-end MPI domain
+decomposition — p4est partitions cells by contiguous space-filling-curve
+ranges (``src/step-50.cc:120-122``), each rank assembles its own cells and
+``compress()`` add-reduces off-owner matrix/vector entries
+(``src/step-50.cc:831-832``), density/estimation loop only over
+locally-owned cells, and the solve runs on row-partitioned level matrices
+(``src/step-50.cc:722-731``).  Here:
+
+* cells are partitioned into contiguous canonical-order (tree-DFS SFC)
+  index blocks — ``Forest`` stores cells in that order, so a contiguous
+  index range IS an SFC range (mesh/forest.py:_canonical_order);
+* density and energy-norm-error evaluation run as ``shard_map`` programs
+  over per-device cell blocks, calling the SAME separable/chunked kernel
+  math as the single-device production path (ops/density.py,
+  postprocess/energy.py);
+* assembly computes element tensors per device block and scatter-adds into
+  the global CSR slots; the cross-device ``psum`` of those partial arrays
+  is the ``compress()`` add-reduction (at production scale the same maps
+  feed a ``reduce_scatter`` onto row blocks — the solver re-blocks by rows
+  anyway, parallel/sharded_gmg.py);
+* the solve itself is ``ShardedGMG`` (GMG path) or the sharded Jacobi-CG
+  (``parallel/sharded.py``, the reference's src/step-50.cc:996-1005 path).
+
+Everything compiles once per mesh topology and device count; XLA inserts
+the collectives (psum over ICI).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from coulomb_gmg_tpu.parallel.sharded import shard_map
+
+
+class SpmdContext:
+    """Device mesh + cell partition + sharded pipeline stages."""
+
+    def __init__(self, n_devices: int):
+        devs = jax.devices()
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"Config.n_devices={n_devices} but only {len(devs)} JAX "
+                f"devices are visible (for CPU testing set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices})")
+        self.D = int(n_devices)
+        self.mesh = Mesh(np.array(devs[: self.D]), ("shard",))
+        self.axis = "shard"
+
+    # ------------------------------------------------------ cell partition
+
+    def block(self, n_cells: int) -> int:
+        """Cells per device (last device may own fewer real cells)."""
+        return (n_cells + self.D - 1) // self.D
+
+    def owners(self, n_cells: int) -> np.ndarray:
+        """(n_cells,) owning device by contiguous canonical-order blocks —
+        the subdomain id (p4est SFC partition, src/step-50.cc:120-122)."""
+        B = self.block(n_cells)
+        return (np.arange(n_cells) // B).astype(np.int32)
+
+    def _blocks(self, a: np.ndarray, pad_value=0, dtype=None):
+        """(n, ...) cell array -> (D, B, ...) padded device blocks."""
+        a = np.asarray(a)
+        if dtype is not None:
+            a = a.astype(dtype)
+        n = a.shape[0]
+        B = self.block(n)
+        out = np.full((self.D * B,) + a.shape[1:], pad_value, dtype=a.dtype)
+        out[:n] = a
+        return out.reshape((self.D, B) + a.shape[1:])
+
+    # ---------------------------------------------------- sharded density
+
+    def density(self, forest, points_ref, positions, charges, r_c: float,
+                mask=None, lists=None, dtype=None) -> np.ndarray:
+        """Charge density over device-sharded cell blocks.
+
+        Same math as the single-device production path: the separable
+        tensor-product Gaussian evaluation with the dense-mask or
+        padded-list locality variants (ops/density.py:_density_*_sep_jit);
+        each device computes only its own cells
+        (src/step-50.cc:509-575 loops locally-owned cells the same way).
+        """
+        from coulomb_gmg_tpu.ops.density import (
+            _tensor_rule_1d, _density_lists_sep_jit, _density_dense_sep_jit,
+            _density_all_sep_jit, _density_lists_jit, _density_dense_jit,
+            _density_all_jit)
+
+        n = forest.n_cells
+        dim = forest.dim
+        dt = dtype or np.float64
+        lower = self._blocks(forest.cell_lower(), dtype=dt)
+        h = self._blocks(forest.cell_h(), pad_value=1.0, dtype=dt)
+        pos = jnp.asarray(np.asarray(positions, dt))
+        q = jnp.asarray(np.asarray(charges, dt))
+        pref = np.asarray(points_ref, dt)
+        x1 = _tensor_rule_1d(np.asarray(points_ref, np.float64), dim)
+        sep = x1 is not None
+        rc = float(r_c)
+
+        if lists is not None:
+            li = self._blocks(lists, pad_value=-1)
+            kern = _density_lists_sep_jit if sep else _density_lists_jit
+            grid = jnp.asarray(x1.astype(dt)) if sep else jnp.asarray(pref)
+
+            def local(lo, hh, ll):
+                return kern(lo[0], hh[0], grid, pos, q, rc, ll[0])[None]
+
+            args = (jnp.asarray(lower), jnp.asarray(h), jnp.asarray(li))
+        elif mask is not None:
+            mk = self._blocks(mask, pad_value=False)
+            kern = _density_dense_sep_jit if sep else _density_dense_jit
+            grid = jnp.asarray(x1.astype(dt)) if sep else jnp.asarray(pref)
+
+            def local(lo, hh, mm):
+                return kern(lo[0], hh[0], grid, pos, q, rc, mm[0])[None]
+
+            args = (jnp.asarray(lower), jnp.asarray(h), jnp.asarray(mk))
+        else:
+            kern = _density_all_sep_jit if sep else _density_all_jit
+            grid = jnp.asarray(x1.astype(dt)) if sep else jnp.asarray(pref)
+
+            def local(lo, hh):
+                return kern(lo[0], hh[0], grid, pos, q, rc)[None]
+
+            args = (jnp.asarray(lower), jnp.asarray(h))
+
+        sp = P(self.axis)
+        fn = jax.jit(shard_map(local, mesh=self.mesh,
+                               in_specs=(sp,) * len(args), out_specs=sp,
+                               check_rep=False))
+        out = np.asarray(fn(*args))
+        return out.reshape(-1, out.shape[-1])[:n]
+
+    # ------------------------------------------- sharded energy-norm error
+
+    def energy_norm_error(self, forest, tables, u, positions, charges,
+                          r_c: float, dtype=None) -> float:
+        """sqrt(sum_c int ||grad u_h - grad u_exact||^2): per-device cell
+        blocks with the production chunk kernel (postprocess/energy.py:
+        _enorm_chunk) + psum — the reference's MPI sum
+        (src/step-50.cc:1459)."""
+        from coulomb_gmg_tpu.postprocess.energy import _enorm_chunk
+
+        n = forest.n_cells
+        dim = forest.dim
+        dt = dtype or np.float64
+        ucell = np.asarray(u)[forest.dofs_of(tables.degree).cell2dof]
+        uc = self._blocks(ucell, dtype=dt)
+        h = self._blocks(forest.cell_h(), pad_value=1.0, dtype=dt)
+        lo = self._blocks(forest.cell_lower(), dtype=dt)
+        val = self._blocks(np.ones(n), pad_value=0.0, dtype=dt)
+        dphi = jnp.asarray(np.asarray(tables.dphi, dt))
+        pref = jnp.asarray(np.asarray(tables.points, dt))
+        w = jnp.asarray(np.asarray(tables.weights, dt))
+        pos = jnp.asarray(np.asarray(positions, dt))
+        q = jnp.asarray(np.asarray(charges, dt))
+        rc = float(r_c)
+        axis = self.axis
+
+        def local(ucb, hb, lob, vb):
+            e = _enorm_chunk(ucb[0], dphi, hb[0], lob[0], pref, pos, q,
+                             rc, w, vb[0], dim=dim)
+            return jax.lax.psum(e, axis)
+
+        sp = P(self.axis)
+        fn = jax.jit(shard_map(local, mesh=self.mesh,
+                               in_specs=(sp, sp, sp, sp), out_specs=P(),
+                               check_rep=False))
+        err = fn(jnp.asarray(uc), jnp.asarray(h), jnp.asarray(lo),
+                 jnp.asarray(val))
+        return float(np.sqrt(np.asarray(err)))
+
+    # --------------------------------------------------- sharded assembly
+
+    def build_assembler(self, plan, tab_lap, tab_rhs, has_coeff: bool,
+                        np_dtype=np.float64):
+        """Distributed assembly with compress.
+
+        Each device computes the element stiffness/load tensors for its
+        own cell block (fem/integrals.py math) and scatter-adds them into
+        the global CSR slots through its partition of the assembly plan's
+        constraint-expanded maps; the cross-device ``psum`` is the
+        ``compress(add)`` reduction of src/step-50.cc:831-832.
+
+        Returns fn(h, coeff_q, rho_q) -> (data (nnz,), rhs (n,)) numpy.
+        """
+        D = self.D
+        nnz = plan.pattern.nnz
+        n = plan.pattern.n_rows
+        nb = plan.n_basis
+        n_cells = plan.n_cells
+        B = self.block(n_cells)
+        owner_of_cell = self.owners(n_cells)
+
+        def pack(owner, arrays, pads):
+            """Partition owner-sorted entry arrays into (D, E, ...) blocks."""
+            counts = np.bincount(owner, minlength=D)
+            E = max(int(counts.max()), 1)
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            outs = []
+            for a, padv in zip(arrays, pads):
+                a = np.asarray(a)
+                out = np.full((D, E) + a.shape[1:], padv, dtype=a.dtype)
+                for d in range(D):
+                    out[d, : counts[d]] = a[offs[d]: offs[d + 1]]
+                outs.append(out)
+            return outs
+
+        # clean cells: nb^2 matrix entries + nb rhs entries per cell
+        n_clean = len(plan.clean_idx)
+        cl_owner = owner_of_cell[plan.clean_idx]
+        cl_pos = plan.m_pos[: n_clean * nb * nb].reshape(n_clean, nb * nb)
+        cl_rdof = plan.r_dof_clean.reshape(n_clean, nb)
+        cl_local = plan.clean_idx - cl_owner.astype(np.int64) * B
+        cl_idx_b, cl_pos_b, cl_rdof_b = pack(
+            cl_owner, [cl_local, cl_pos, cl_rdof], [0, nnz, n])
+
+        # dirty matrix entries (constraint-expanded)
+        md_owner = owner_of_cell[plan.md_cell]
+        md_pos = plan.m_pos[n_clean * nb * nb:]
+        md_cell_b, md_i_b, md_j_b, md_w_b, md_pos_b = pack(
+            md_owner,
+            [plan.md_cell - md_owner.astype(np.int64) * B,
+             plan.md_i, plan.md_j, plan.md_w.astype(np_dtype), md_pos],
+            [0, 0, 0, 0.0, nnz])
+
+        # constrained-diagonal entries
+        d_owner = owner_of_cell[plan.d_cell]
+        d_cell_b, d_i_b, d_pos_b = pack(
+            d_owner, [plan.d_cell - d_owner.astype(np.int64) * B,
+                      plan.d_i, plan.d_pos], [0, 0, nnz])
+
+        # dirty rhs entries: need the device's dirty-cell list for the lift
+        dd_owner = owner_of_cell[plan.dirty_idx]
+        dd_counts = np.bincount(dd_owner, minlength=D)
+        dd_offs = np.concatenate([[0], np.cumsum(dd_counts)])
+        dd_idx_b, gd_b = pack(
+            dd_owner, [plan.dirty_idx - dd_owner.astype(np.int64) * B,
+                       plan.gd_local.astype(np_dtype)], [0, 0.0])
+        # rd_cell indexes the GLOBAL dirty list; remap to device-local
+        rd_owner = owner_of_cell[plan.dirty_idx[plan.rd_cell]]
+        rd_cell_local = plan.rd_cell - dd_offs[rd_owner]
+        rd_cell_b, rd_i_b, rd_w_b, rd_dof_b = pack(
+            rd_owner, [rd_cell_local, plan.rd_i,
+                       plan.rd_w.astype(np_dtype), plan.rd_dof], [0, 0, 0.0, n])
+
+        axis = self.axis
+        w_lap = jnp.asarray(np.asarray(tab_lap.weights, np_dtype))
+        G = jnp.asarray(np.asarray(tab_lap.grad_outer, np_dtype))
+        w_rhs = jnp.asarray(np.asarray(tab_rhs.weights, np_dtype))
+        phi = jnp.asarray(np.asarray(tab_rhs.phi, np_dtype))
+        dim = tab_lap.dim
+
+        def local(h, coeff_q, rho_q, cl_idx, cl_pos, cl_rdof, md_cell, md_i,
+                  md_j, md_w, md_pos, d_cell, d_i, d_pos, dd_idx, gd,
+                  rd_cell, rd_i, rd_w, rd_dof):
+            (h, coeff_q, rho_q, cl_idx, cl_pos, cl_rdof, md_cell, md_i, md_j,
+             md_w, md_pos, d_cell, d_i, d_pos, dd_idx, gd, rd_cell, rd_i,
+             rd_w, rd_dof) = (x[0] for x in (
+                 h, coeff_q, rho_q, cl_idx, cl_pos, cl_rdof, md_cell, md_i,
+                 md_j, md_w, md_pos, d_cell, d_i, d_pos, dd_idx, gd, rd_cell,
+                 rd_i, rd_w, rd_dof))
+            # element tensors for this device's cells (fem/integrals.py)
+            scale = h ** (dim - 2)
+            if has_coeff:
+                cw = coeff_q * w_lap[None, :]
+                K = scale[:, None, None] * jnp.einsum("cq,qij->cij", cw, G)
+            else:
+                k_ref = jnp.einsum("q,qij->ij", w_lap, G)
+                K = scale[:, None, None] * k_ref[None, :, :]
+            F = (h ** dim)[:, None] * ((rho_q * w_rhs[None, :]) @ phi)
+
+            data = jnp.zeros(nnz + 1, K.dtype)
+            data = data.at[cl_pos].add(K[cl_idx].reshape(cl_idx.shape[0],
+                                                         nb * nb))
+            data = data.at[md_pos].add(K[md_cell, md_i, md_j] * md_w)
+            data = data.at[d_pos].add(K[d_cell, d_i, d_i])
+            rhs = jnp.zeros(n + 1, K.dtype)
+            rhs = rhs.at[cl_rdof].add(F[cl_idx])
+            lift = jnp.einsum("cij,cj->ci", K[dd_idx], gd)
+            f_eff = F[dd_idx] - lift
+            rhs = rhs.at[rd_dof].add(f_eff[rd_cell, rd_i] * rd_w)
+            # compress: add-reduce partial contributions across devices
+            return jax.lax.psum(data[:nnz], axis), jax.lax.psum(rhs[:n], axis)
+
+        sp = P(self.axis)
+        fn = jax.jit(shard_map(
+            local, mesh=self.mesh, in_specs=(sp,) * 20,
+            out_specs=(P(), P()), check_rep=False))
+
+        def run(h, coeff_q, rho_q):
+            h_b = self._blocks(np.asarray(h, np_dtype), pad_value=1.0)
+            n_q_l = len(np.asarray(tab_lap.weights))
+            if coeff_q is None:
+                coeff_b = np.ones((D, B, n_q_l), np_dtype)
+            else:
+                coeff_b = self._blocks(np.asarray(coeff_q, np_dtype),
+                                       pad_value=1.0)
+            rho_b = self._blocks(np.asarray(rho_q, np_dtype), pad_value=0.0)
+            data, rhs = fn(
+                jnp.asarray(h_b), jnp.asarray(coeff_b), jnp.asarray(rho_b),
+                *map(jnp.asarray, (
+                    cl_idx_b, cl_pos_b, cl_rdof_b, md_cell_b, md_i_b, md_j_b,
+                    md_w_b, md_pos_b, d_cell_b, d_i_b, d_pos_b, dd_idx_b,
+                    gd_b, rd_cell_b, rd_i_b, rd_w_b, rd_dof_b)))
+            return np.asarray(data), np.asarray(rhs)
+
+        return run
+
+
+def electrostatic_energy_spmd(spmd: SpmdContext, forest, u, positions,
+                              charges, r_c: float, degree: int = 1):
+    """Energy postprocess with shard-ownership dedup: each atom's potential
+    is evaluated by the shard OWNING the cell that contains it, partial
+    long-range sums are combined, and the atom count is cross-checked —
+    the all_gather + lowest-rank dedup of src/step-50.cc:1334-1398."""
+    from coulomb_gmg_tpu.postprocess.energy import (
+        locate_cells, point_values, electrostatic_energy)
+    cells = locate_cells(forest, np.asarray(positions))
+    atom_owner = spmd.owners(forest.n_cells)[cells]
+    phi = np.zeros(len(charges))
+    n_eval = 0
+    for d in range(spmd.D):
+        sel = atom_owner == d
+        if not sel.any():
+            continue
+        phi[sel] = point_values(forest, u, np.asarray(positions)[sel],
+                                degree=degree)
+        n_eval += int(sel.sum())
+    # the reference's sanity cross-check after the gather
+    # (src/step-50.cc:1397-1398)
+    assert n_eval == len(charges), (n_eval, len(charges))
+    e = electrostatic_energy(forest, u, positions, charges, r_c,
+                             degree=degree)
+    fe_long = float(0.5 * np.sum(np.asarray(charges) * phi))
+    e["fe_long_range"] = fe_long
+    total = e["short_range"] + fe_long - e["self_energy"]
+    e["total_split"] = total
+    e["abs_error"] = abs(abs(e["analytic"]) - abs(total))
+    e["rel_error"] = abs((abs(e["analytic"]) - abs(total)) / e["analytic"])
+    return e

@@ -305,29 +305,43 @@ int64_t cgmg_pattern(const int64_t* c2d, int64_t m, int64_t nb,
   for (int64_t b = 0; b < B; ++b)
     uniq_base[b + 1] = uniq_base[b] + uniq_in_bucket[b];
   const int64_t nnz = uniq_base[B];
-  // fill indices (= key % n) and inverse; count rows for indptr per bucket
-  std::vector<std::vector<int64_t>> rcount(T, std::vector<int64_t>(n + 1, 0));
-  parallel_buckets(B, [&](int64_t lo, int64_t hi, unsigned t) {
-    auto& rc = rcount[t];
+  // Fill indices (= key % n) and inverse; row counts accumulate straight
+  // into the caller's indptr.  Unique keys within a bucket are sorted, so
+  // same-row entries form runs — one relaxed atomic add per (bucket, row)
+  // run (~nnz/row_degree + B atomics total).  Atomic because a row's keys
+  // can straddle a bucket (hence thread) boundary.  This replaces the
+  // former T x (n+1) per-thread count arrays (which transiently doubled
+  // peak host memory at large n: ~2.5 GB at 10M dofs) and their serial
+  // O(n*T) reduction.
+  parallel_for(n + 1, [&](int64_t lo, int64_t hi, unsigned) {
+    std::memset(indptr + lo, 0, (hi - lo) * sizeof(int64_t));
+  });
+  parallel_buckets(B, [&](int64_t lo, int64_t hi, unsigned) {
     for (int64_t b = lo; b < hi; ++b) {
       int64_t u = uniq_base[b] - 1;
       int64_t prev = INT64_MIN;
+      int64_t run_row = -1, run = 0;
       for (int64_t i = bucket_start[b]; i < bucket_start[b + 1]; ++i) {
         if (buf[i].key != prev) {
           prev = buf[i].key;
           ++u;
           indices[u] = prev % n;
-          ++rc[prev / n + 1];
+          const int64_t row = prev / n;
+          if (row != run_row) {
+            if (run)
+              __atomic_fetch_add(&indptr[run_row + 1], run,
+                                 __ATOMIC_RELAXED);
+            run_row = row;
+            run = 0;
+          }
+          ++run;
         }
         inverse[buf[i].idx] = u;
       }
+      if (run)
+        __atomic_fetch_add(&indptr[run_row + 1], run, __ATOMIC_RELAXED);
     }
   });
-  for (int64_t r = 0; r <= n; ++r) {
-    int64_t s = 0;
-    for (unsigned t = 0; t < T; ++t) s += rcount[t][r];
-    indptr[r] = s;
-  }
   for (int64_t r = 0; r < n; ++r) indptr[r + 1] += indptr[r];
   return nnz;
 }
