@@ -352,7 +352,7 @@ class Simulation:
                     # SPMD Jacobi-CG (src/step-50.cc:996-1005)
                     from coulomb_gmg_tpu.parallel.sharded import (
                         ShardedCSR, sharded_diag, make_sharded_solver,
-                        shard_vector)
+                        shard_vector, put_blocks)
                     np_dtype = (np.float32 if self.dtype == jnp.float32
                                 else np.float64)
                     As = ShardedCSR.from_coo(
@@ -364,10 +364,12 @@ class Simulation:
                         self.spmd.mesh, As, jnp.asarray(diag),
                         tol_rtol=cfg.cg_rtol, maxiter=cfg.cg_max_iters * 10,
                         damping=cfg.jacobi_damping)
-                    rhs_b = jnp.asarray(shard_vector(
-                        np.asarray(rhs_np, np_dtype), self.spmd.D))
-                    x0_b = (jnp.asarray(shard_vector(
-                        np.asarray(x0_np, np_dtype), self.spmd.D))
+                    rhs_b = put_blocks(shard_vector(
+                        np.asarray(rhs_np, np_dtype), self.spmd.D),
+                        self.spmd.mesh)
+                    x0_b = (put_blocks(shard_vector(
+                        np.asarray(x0_np, np_dtype), self.spmd.D),
+                        self.spmd.mesh)
                         if x0_np is not None else jnp.zeros_like(rhs_b))
                     xb, k, res0, resf = solver(rhs_b, x0_b)
                     x = np.asarray(xb).reshape(-1)[: self.A.n_rows]

@@ -49,6 +49,22 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def put_blocks(a, mesh: Mesh):
+    """(D, ...) host array -> global device array sharded along the mesh
+    axis (one block per device).
+
+    Multi-process safe: under ``jax.distributed`` (multi-host DCN meshes,
+    utils/platform.py:init_distributed) each process materializes only its
+    addressable shards — the analogue of each MPI rank holding its own
+    Trilinos row block (src/step-50.cc:699-701).  Single-process it is an
+    explicit sharded device_put (no implicit reshard inside jit).
+    """
+    from jax.sharding import NamedSharding
+    a = np.asarray(a)
+    sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+
 @dataclass
 class ShardedCSR:
     """Row-partitioned sparse matrix as per-device padded COO blocks.
@@ -162,14 +178,19 @@ def make_sharded_solver(mesh: Mesh, A: ShardedCSR, diag_block: jnp.ndarray,
         check_rep=False,
     )
 
-    rows_local = jnp.asarray(A.rows_local)
-    cols = jnp.asarray(A.cols)
-    data = A.data
-    inv_diag_b = jnp.asarray(inv_diag)
+    rows_local = put_blocks(A.rows_local, mesh)
+    cols = put_blocks(A.cols, mesh)
+    data = put_blocks(np.asarray(A.data), mesh)
+    inv_diag_b = put_blocks(np.asarray(inv_diag), mesh)
 
-    @jax.jit
+    # the matrix blocks are jit ARGUMENTS, not closure constants: closed-over
+    # concrete arrays are baked into the jaxpr, which requires fetching their
+    # value — impossible for multi-process global arrays (each process only
+    # holds its own shards).
+    run_impl = jax.jit(fn)
+
     def run(rhs_b, x0_b):
-        return fn(rhs_b, x0_b, rows_local, cols, data, inv_diag_b)
+        return run_impl(rhs_b, x0_b, rows_local, cols, data, inv_diag_b)
 
     return run
 
