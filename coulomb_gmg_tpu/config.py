@@ -90,6 +90,12 @@ class Config:
     # vectors are large enough to amortize per-op latency; chunky
     # density/FE-error offloads have no such floor.
     solve_device_min_dofs: int = 2_000_000
+    # elastic accelerator demotion: if a hot stage (density / solve /
+    # FE-error postprocess) takes longer than this on the accelerator, the
+    # shared pool is stalling and subsequent cycles run on the host — same
+    # solver, same math.  <= 0 disables demotion.
+    demote_hot_stage_s: float = 60.0
+    demote_postprocess_s: float = 120.0
     # checkpoint/resume (a capability the reference lacks, SURVEY 5.4):
     checkpoint_dir: str = ""     # save a resumable snapshot per cycle
     resume_from: str = ""        # path of a snapshot to resume after

@@ -164,6 +164,19 @@ class Simulation:
         return lambda pts: np.asarray(P.analytic_solution(
             jnp.asarray(pts), jnp.asarray(pos), jnp.asarray(q), cfg.r_c))
 
+    def maybe_demote(self, elapsed_s: float, threshold_s: float,
+                     used_accelerator: bool = True) -> bool:
+        """Elastic placement policy: a hot stage that took longer than the
+        configured threshold on the accelerator means the shared pool is
+        stalling; demote every subsequent accelerator-eligible stage to the
+        host backend (same solver, same math).  Thresholds come from
+        Config.demote_hot_stage_s / demote_postprocess_s; <= 0 disables."""
+        if (used_accelerator and self.tpu_device is not None
+                and threshold_s > 0 and elapsed_s > threshold_s):
+            self.tpu_device = None
+            return True
+        return False
+
     def setup(self, cycle: int):
         cfg = self.cfg
         f = self.forest
@@ -223,10 +236,8 @@ class Simulation:
                         device=hot_device(work))
                 # elastic placement (see solve): a stalling shared-pool
                 # accelerator demotes subsequent cycles to the host.
-                if (self.tpu_device is not None
-                        and hot_device(work) is not None
-                        and _time.time() - _t0 > 60.0):
-                    self.tpu_device = None
+                self.maybe_demote(_time.time() - _t0, cfg.demote_hot_stage_s,
+                                  hot_device(work) is not None)
             with self.timer.scope("Compute dipole moments"):
                 self.dipole = compute_dipole_moment(self.atoms.positions,
                                                     self.atoms.charges)
@@ -423,9 +434,8 @@ class Simulation:
                     # elastic placement: if the tunneled accelerator is
                     # stalling (shared-pool latency), demote subsequent
                     # cycles to the host backend — same solver, same math.
-                    if (self.tpu_device is not None
-                            and _time.time() - _t0 > 60.0):
-                        self.tpu_device = None
+                    self.maybe_demote(_time.time() - _t0,
+                                      cfg.demote_hot_stage_s)
                 else:
                     from coulomb_gmg_tpu.solver.tpu_cg import tpu_cg_solve
                     x, k, res0, resf = tpu_cg_solve(
@@ -589,8 +599,9 @@ class Simulation:
                     dtype=np.float32 if f32 else None)
             # elastic placement: a stalling shared-pool accelerator demotes
             # subsequent cycles to the host (same policy as density/solve)
-            if dev is not None and _time.time() - _t0 > 120.0:
-                self.tpu_device = None
+            self.maybe_demote(_time.time() - _t0,
+                              self.cfg.demote_postprocess_s,
+                              dev is not None)
         self.pcout("Error in FE solution in energy norm:  " + sci10(err))
         return err
 
