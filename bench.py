@@ -1,20 +1,24 @@
-"""Headline benchmark: 8-atom NaCl lattice, 5 adaptive GMG-CG cycles.
+"""Headline benchmark: 2744-atom NaCl lattice, 5 adaptive GMG-CG cycles.
 
-Reference baseline: 134.2 s total walltime for the same problem (8 atoms,
-5 cycles, SSOR-GMG-CG, RHS locality optimization ON) on 20 MPI ranks of a
-40-core 2.2 GHz node (`Cluster runs output and postprocessing/
-SSOR_run.o876223:77`, see BASELINE.md).
+Reference baseline: 874.9 s total walltime for the same problem (2744
+atoms, 5 cycles, SSOR-GMG-CG, RHS locality optimization ON) on 20 MPI
+ranks of a 40-core 2.2 GHz node (`Cluster runs output and postprocessing/
+SSOR_run.o876223:290`, see BASELINE.md).
 
-We run the identical physics in float32 with the production solve path
-(GMG-preconditioned CG, Chebyshev smoothers, exact tensor-product DST
-coarse solve; CG tol 1e-6*||b|| — float32's attainable floor, still ~3
-orders below discretization error) and report total pipeline walltime.
+This is a COMPUTE-BOUND size: the FE-error postprocess and density are
+distance-matrix work (cells x quad x atoms pair evaluations) that the MXU
+eats — at 8 atoms the pipeline is dispatch-latency bound and the
+accelerator cannot win; at 2744 atoms it can.  Placement is hybrid:
 
-Adaptive placement: the tunneled accelerator in this environment shares a
-pool whose round-trip latency varies from ~0.2 ms to tens of seconds.  A
-short health probe picks the accelerator when it is responsive and falls
-back to the host backend otherwise — the same workload and solver either
-way (the solve path is backend-agnostic JAX).
+* a real health probe (compile + dispatch + pull round trips) decides
+  whether the tunneled shared-pool accelerator is usable this run;
+* if healthy, the large distance-matrix stages (density when big enough,
+  FE-error postprocess) run on the accelerator and the latency-bound
+  stages (topology, assembly, small solves) stay on host;
+* mid-run stalls demote later cycles to the host (Config.demote_*).
+
+Escape hatches: BENCH_FORCE_HOST=1 pins the host backend,
+BENCH_FORCE_TPU=1 skips the probe and trusts the accelerator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -26,27 +30,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_S = 134.2
-PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_BUDGET_S", "20"))
-PROBE_HEALTHY_S = float(os.environ.get("BENCH_PROBE_HEALTHY_S", "4"))
+BASELINE_S = 874.9
+PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_BUDGET_S", "150"))
+PROBE_HEALTHY_S = float(os.environ.get("BENCH_PROBE_HEALTHY_S", "2"))
 
 
 def probe_accelerator() -> bool:
-    """True if the non-CPU backend answers a tiny compile+dispatch+pull
-    round trip within the health budget.  Runs in a worker thread so a
-    wedged tunnel cannot stall the benchmark.
+    """True if the non-CPU backend answers compile+dispatch+pull round
+    trips within the health budget.  Runs in a worker thread so a wedged
+    tunnel cannot stall the benchmark.
 
-    NOTE: the 8-atom benchmark is LATENCY-bound (91k-196k DoFs, ~3 GMG-CG
-    iterations/cycle, densities of 8 atoms): round trips dominate, FLOPs
-    are negligible.  The hybrid placement policy therefore runs it on the
-    host backend by default — the accelerator pays compile + transfer +
-    pool latency it cannot amortize at this size (measured: host 72 s vs
-    accelerator 188-410 s depending on pool health).  The accelerator is
-    where the SCALING benchmarks win (tools/bench_kernels.py,
-    tools/bench_scaling.py: the 64k-atom density is ~1e11 pair-evals of
-    MXU work).  Set BENCH_FORCE_TPU=1 to force the accelerator here."""
-    if not os.environ.get("BENCH_FORCE_TPU"):
+    The first compile through the tunnel is expensive (tens of seconds,
+    remote compile service) and is NOT held against the pool — it is paid
+    once per process either way.  Health is judged on the HOT path: steady
+    dispatch+pull latency, which is what the chunked offload kernels see."""
+    if os.environ.get("BENCH_FORCE_HOST"):
         return False
+    if os.environ.get("BENCH_FORCE_TPU"):
+        return True
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return False
     import concurrent.futures as cf
@@ -57,17 +58,15 @@ def probe_accelerator() -> bool:
         dev = jax.devices()[0]
         if dev.platform == "cpu":
             return False
-        t0 = time.time()
         x = jax.device_put(jnp.ones((256, 256), jnp.float32), dev)
-        y = jax.jit(lambda a: (a @ a).sum())(x)
-        float(y)
-        warm = time.time() - t0
+        f = jax.jit(lambda a: (a @ a).sum())
+        float(f(x))                     # warm: compile + first dispatch
         t0 = time.time()
         for _ in range(3):
-            y = jax.jit(lambda a: (a @ a).sum())(x)
-            float(y)
+            float(f(x))
         hot = (time.time() - t0) / 3
-        return warm < PROBE_HEALTHY_S * 4 and hot < PROBE_HEALTHY_S
+        return hot < PROBE_HEALTHY_S
+
     ex = cf.ThreadPoolExecutor(1)
     try:
         return bool(ex.submit(roundtrip).result(timeout=PROBE_BUDGET_S))
@@ -93,14 +92,17 @@ def main():
     from coulomb_gmg_tpu.models.atoms import nacl_lattice
     from coulomb_gmg_tpu.utils.logging import Pcout
 
+    n = 7                         # atoms = 8 n^3 = 2744, box [0, n]^3
+    atoms = nacl_lattice(n)
     cfg = golden_gaussian_config(
         n_adaptive_cycles=5,
+        domain_left=0.0, domain_right=float(n),
         dtype="float32",
         solver_backend="tpu_cg",      # GMG + DST coarse + Chebyshev
         cg_rtol=1e-6,
+        boundary_conditions="Inhomogeneous",
         flag_output_time=False,
     )
-    atoms = nacl_lattice(1)   # 8 atoms, box [0,1]^3
 
     quiet = Pcout(enabled=False)
     t0 = time.time()
@@ -108,13 +110,20 @@ def main():
     results = sim.run()
     wall = time.time() - t0
 
-    # sanity: physics must be right (energy error vs analytic pairwise sum)
-    e = results[-1].get("energy", {})
-    abs_err = e.get("abs_error", float("nan"))
-    ok = abs_err == abs_err and abs_err < 5e-2
+    # sanity: physics must be right.  The pairwise-energy check is gated
+    # to n < 300 atoms (reference semantics, src/step-50.cc:1554), so at
+    # 2744 atoms the gates are the FE energy-norm error (discretization
+    # level), the GMG-CG iteration count (mesh-independence), and the
+    # adaptive trajectory reaching production mesh sizes.
+    last = results[-1]
+    fe_err = last.get("energy_norm_error")
+    ok = (fe_err is not None and fe_err == fe_err and 0.0 < fe_err < 1.0
+          and 1 <= last.get("cg_iterations", 99) <= 10
+          and last.get("n_dofs", 0) > 200_000)
 
     print(json.dumps({
-        "metric": "walltime_8atom_5cycle_adaptive_gmg_s"
+        "metric": "walltime_2744atom_5cycle_adaptive_gmg_s"
+                  + ("_tpu" if on_tpu else "_host")
                   + ("" if ok else "_INVALID"),
         "value": round(wall, 2),
         "unit": "s",

@@ -217,6 +217,13 @@ class Simulation:
                 eff_atoms = (self.lists.shape[1] if self.lists is not None
                              and cfg.flag_rhs_assembly else n_atoms)
                 work = f.n_cells * len(self.tab_rhs.points) * eff_atoms
+                # the padded-list density is a gather-bound kernel, not a
+                # distance matrix: per pair it moves ~16 B of list/position
+                # data for ~6 flops, so the tunneled accelerator loses until
+                # far larger sizes (measured at 8000 atoms / 545k cells,
+                # work 2.1e9: host 12.9 s vs accelerator 43.4 s — PERF.md).
+                if self.lists is not None and cfg.flag_rhs_assembly:
+                    work = work / 16.0
                 if self.spmd is not None:
                     # device-sharded cell blocks, production kernel math
                     self.rho = self.spmd.density(

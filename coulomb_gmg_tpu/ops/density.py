@@ -16,6 +16,7 @@ masked JAX computations:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -24,6 +25,12 @@ import jax.numpy as jnp
 
 from coulomb_gmg_tpu.mesh.forest import Forest, corner_offsets
 from coulomb_gmg_tpu.ops.q1 import ElementTables
+
+# crossover (atoms) above which the Pallas MXU distance-matrix kernel beats
+# the jnp separable kernel for the brute-force density (see PERF.md table);
+# override for measurement sweeps.
+_PALLAS_DENSITY_MIN_ATOMS = int(os.environ.get(
+    "CGMG_PALLAS_DENSITY_MIN_ATOMS", "512"))
 
 
 def cell_quad_points(forest: Forest, points_ref: np.ndarray,
@@ -186,6 +193,27 @@ def compute_density(forest: Forest, points_ref: np.ndarray, positions,
                            sub.dtype if hasattr(sub, "dtype") else np.float64)
             out[act] = sub
             return out
+
+    # brute-force (no locality) path on an accelerator: the (points x atoms)
+    # interaction is a distance-matrix problem — one MXU matmul for the
+    # cross term + an MXU matvec for the charge reduction
+    # (ops/pallas_density.py).  Measured crossover vs the jnp separable
+    # kernel on the real chip: the Pallas form wins once the atom count is
+    # large enough that transcendental work dominates (PERF.md); below the
+    # threshold the separable form's dim*n1*K exp evaluations win.
+    if (mask is None and lists is None and device is not None
+            and getattr(device, "platform", "cpu") != "cpu"
+            and len(positions) >= _PALLAS_DENSITY_MIN_ATOMS):
+        from coulomb_gmg_tpu.ops.pallas_density import density_pallas
+        pts = cell_quad_points(forest, np.asarray(points_ref, np.float64))
+        flat = pts.reshape(-1, dim)
+        out_dtype = np.float32 if dtype == np.float32 else np.float64
+        rho = np.empty(len(flat), out_dtype)
+        blk = 1 << 21                     # bound the (8, P) upload blocks
+        for s in range(0, len(flat), blk):
+            rho[s:s + blk] = np.asarray(density_pallas(
+                flat[s:s + blk], positions, charges, r_c), out_dtype)
+        return rho.reshape(n_cells, n_q)
 
     pos = put(positions)
     q = put(charges)
