@@ -204,16 +204,21 @@ def compute_density(forest: Forest, points_ref: np.ndarray, positions,
     if (mask is None and lists is None and device is not None
             and getattr(device, "platform", "cpu") != "cpu"
             and len(positions) >= _PALLAS_DENSITY_MIN_ATOMS):
-        from coulomb_gmg_tpu.ops.pallas_density import density_pallas
-        pts = cell_quad_points(forest, np.asarray(points_ref, np.float64))
-        flat = pts.reshape(-1, dim)
+        from coulomb_gmg_tpu.ops.pallas_density import density_pallas_cells
         out_dtype = np.float32 if dtype == np.float32 else np.float64
-        rho = np.empty(len(flat), out_dtype)
-        blk = 1 << 21                     # bound the (8, P) upload blocks
-        for s in range(0, len(flat), blk):
-            rho[s:s + blk] = np.asarray(density_pallas(
-                flat[s:s + blk], positions, charges, r_c), out_dtype)
-        return rho.reshape(n_cells, n_q)
+        lower = forest.cell_lower()
+        hh = forest.cell_h()
+        blk = max((1 << 21) // max(n_q, 1), 1)   # cells per dispatch block
+        nb = ((n_cells + blk - 1) // blk) * blk
+        # fixed-size blocks (far-away padding cells) -> ONE compile reused
+        lo_p = np.full((nb, dim), 1e6, lower.dtype); lo_p[:n_cells] = lower
+        h_p = np.ones(nb, hh.dtype); h_p[:n_cells] = hh
+        rho = np.empty((nb, n_q), out_dtype)
+        for s in range(0, nb, blk):
+            rho[s:s + blk] = np.asarray(density_pallas_cells(
+                lo_p[s:s + blk], h_p[s:s + blk], points_ref,
+                positions, charges, r_c), out_dtype)
+        return rho[:n_cells]
 
     pos = put(positions)
     q = put(charges)

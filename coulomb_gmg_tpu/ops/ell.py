@@ -14,10 +14,21 @@ nodes), so the padding waste is small and bounded.
 
 Two execution paths:
 
-* :func:`ell_matvec` — plain jnp (XLA gather); works everywhere, good on TPU.
-* :func:`ell_matvec_pallas` — Pallas kernel, row-blocked, x held in VMEM;
-  gathers via one-dimensional ``jnp.take`` inside the kernel.  Used when the
-  vector fits VMEM (n <= ~1M f32) and the platform is TPU.
+* :func:`ell_matvec` — plain jnp (XLA gather); works everywhere, and is the
+  PRODUCTION TPU path: XLA lowers the (n, K) gather to the hardware's
+  dynamic-gather sequence directly.
+* :func:`ell_matvec_pallas` — Pallas kernel, row-blocked, x held in VMEM.
+  Reference semantics only (interpret mode): Mosaic's gather lowering in
+  the current toolchain supports only same-shape per-lane
+  ``tpu.dynamic_gather`` (operand/indices/output shapes must match —
+  jax/_src/pallas/mosaic/lowering.py:_gather_lowering_rule), so an
+  arbitrary-flat-index gather from a VMEM-resident vector CANNOT lower:
+  compiling this kernel on TPU raises "Shape mismatch in input, indices
+  and output".  A lane-replicated formulation (x broadcast to (n, 128))
+  would lower but needs n*512 bytes of VMEM — past ~256k rows it cannot
+  fit, and below that XLA's gather is already sub-millisecond (PERF.md).
+  Verdict, from head-to-head measurement on the chip: the jnp form IS the
+  right TPU kernel here; kept for semantics documentation and CPU tests.
 
 Bucket padding (rows AND K to fixed buckets) keeps one compiled executable
 across adaptive cycles (mesh sizes change every cycle; see solver/tpu_cg.py).

@@ -39,17 +39,24 @@ def _density_kernel(p_ref, a_ref, q_ref, o_ref, *, inv_rc2):
     pt = p_ref[:]                                   # (8, P) coords^T
     at = a_ref[:]                                   # (8, A) coords^T
     q = q_ref[:]                                    # (1, A)
-    pn = jnp.sum(pt * pt, axis=0)[:, None]          # (P, 1)
-    an = jnp.sum(at * at, axis=0)[None, :]          # (1, A)
+    pn = jnp.sum(pt * pt, axis=0)[None, :]          # (1, P)
+    an = jnp.sum(at * at, axis=0)[:, None]          # (A, 1)
+    # precision=HIGHEST: the MXU's default f32 path multiplies in bf16,
+    # which costs ~3 digits in the cross term and gets amplified by the
+    # exp (measured 1.6e-2 rel err on chip); the 3-pass f32 MXU mode
+    # restores full precision at ~1/3 the peak rate — still matmul-bound.
+    hi = jax.lax.Precision.HIGHEST
     cross = jax.lax.dot_general(
-        pt, at, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)         # (P, A) = x.X on MXU
+        at, pt, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=hi)                               # (A, P) = X.x on MXU
     r2 = pn + an - 2.0 * cross
-    e = jnp.exp(-r2 * inv_rc2)                      # (P, A) VPU
+    e = jnp.exp(-r2 * inv_rc2)                      # (A, P) VPU
     contrib = jax.lax.dot_general(
-        e, q, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)         # (P, 1) = E @ q on MXU
-    o_ref[:] += contrib[:, 0]
+        q, e, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=hi)                               # (1, P) = q @ E on MXU
+    o_ref[:] += contrib
 
 
 def density_pallas(points, positions, charges, r_c: float,
@@ -85,6 +92,58 @@ def density_pallas(points, positions, charges, r_c: float,
     return const * out[:P]
 
 
+def density_pallas_cells(lower, h, points_ref, positions, charges,
+                         r_c: float, p_tile: int = 512, a_tile: int = 512,
+                         interpret: bool = False):
+    """rho~ per cell x reference quadrature point, (n_cells, n_q), through
+    the MXU distance-matrix kernel.
+
+    Tunnel-friendly: ships only ``lower`` (C, dim) + ``h`` (C,) and builds
+    the physical points ON DEVICE inside the jit — n_q x less H2D traffic
+    than uploading flattened points (the tunnel moves ~31 MB/s, so this is
+    what makes the kernel a net win in production; see PERF.md).
+    """
+    lower = np.asarray(lower, np.float32)
+    h = np.asarray(h, np.float32)
+    pref = np.asarray(points_ref, np.float32)
+    positions = np.asarray(positions, np.float32)
+    charges = np.asarray(charges, np.float32)
+    C, dim = lower.shape
+    n_q = len(pref)
+    A = len(positions)
+    # pad cells so C * n_q is a tile multiple; padding cells sit far away
+    cells_per_tile = max(p_tile // n_q, 1)
+    lcm = cells_per_tile * n_q
+    lcm = ((p_tile + lcm - 1) // lcm) * lcm          # multiple of p_tile
+    Cp = ((C * n_q + lcm - 1) // lcm) * lcm // n_q
+    lo_p = np.full((Cp, dim), 1e6, np.float32)
+    lo_p[:C] = lower
+    h_p = np.ones(Cp, np.float32)
+    h_p[:C] = h
+
+    at = np.zeros((8, ((A + a_tile - 1) // a_tile) * a_tile), np.float32)
+    at[:dim, :A] = positions.T
+    qt = np.zeros((1, at.shape[1]), np.float32)
+    qt[0, :A] = charges
+
+    const = 4.0 * np.pi / (r_c ** 3 * np.pi ** 1.5)
+    out = _density_cells_call(
+        jnp.asarray(lo_p), jnp.asarray(h_p), jnp.asarray(pref),
+        jnp.asarray(at), jnp.asarray(qt), float(r_c), p_tile, a_tile,
+        interpret)
+    return const * out.reshape(Cp, n_q)[:C]
+
+
+@partial(jax.jit, static_argnames=("r_c", "p_tile", "a_tile", "interpret"))
+def _density_cells_call(lower, h, pref, at, qt, r_c, p_tile, a_tile,
+                        interpret):
+    C, dim = lower.shape
+    pts = lower[:, None, :] + h[:, None, None] * pref[None, :, :]
+    flat = pts.reshape(-1, dim)                       # (C*n_q, dim)
+    pt = jnp.zeros((8, flat.shape[0]), jnp.float32).at[:dim, :].set(flat.T)
+    return _density_call(pt, at, qt, r_c, p_tile, a_tile, interpret)
+
+
 @partial(jax.jit, static_argnames=("r_c", "p_tile", "a_tile", "interpret"))
 def _density_call(pt, at, qt, r_c, p_tile, a_tile, interpret):
     from jax.experimental import pallas as pl
@@ -94,9 +153,12 @@ def _density_call(pt, at, qt, r_c, p_tile, a_tile, interpret):
     Ap = at.shape[1]
     grid = (Pp // p_tile, Ap // a_tile)
     kern = partial(_density_kernel, inv_rc2=1.0 / (r_c * r_c))
-    return pl.pallas_call(
+    # output stays 2-D (1, P): Mosaic requires lane-tiled layouts that a
+    # 1-D f32 block of width < 1024 cannot express (XLA layout T(1024) vs
+    # Mosaic T(512) verify failure on the chip)
+    out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((Pp,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, Pp), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, p_tile), lambda i, j: (0, i),
@@ -106,7 +168,8 @@ def _density_call(pt, at, qt, r_c, p_tile, a_tile, interpret):
             pl.BlockSpec((1, a_tile), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((p_tile,), lambda i, j: (i,),
+        out_specs=pl.BlockSpec((1, p_tile), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(pt, at, qt)
+    return out[0]

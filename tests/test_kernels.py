@@ -156,3 +156,25 @@ def test_dst_coarse_solver_exact():
     diag = A.diagonal()
     u[~interior] = b[~interior] / diag[~interior]
     np.testing.assert_allclose(u, x_ref, rtol=1e-9, atol=1e-11)
+
+
+def test_pallas_density_cells_matches_compute_density():
+    """The production brute-force Pallas path (ops/density.py wiring):
+    device-built points, fixed-size blocks, far-away padding cells."""
+    from coulomb_gmg_tpu.ops.pallas_density import density_pallas_cells
+    from coulomb_gmg_tpu.mesh.forest import Forest
+    from coulomb_gmg_tpu.ops.density import compute_density
+    from coulomb_gmg_tpu.ops.q1 import element_tables
+
+    f = Forest.uniform(3, 5, np.zeros(3), 0.4)
+    tab = element_tables(3, 1, 2)
+    rng = np.random.default_rng(5)
+    pos = rng.uniform(0.2, 1.8, (37, 3))
+    q = rng.choice([-1.0, 1.0], 37)
+    r_c = 0.5
+
+    ref = compute_density(f, tab.points, pos, q, r_c)   # jnp separable path
+    got = np.asarray(density_pallas_cells(
+        f.cell_lower(), f.cell_h(), tab.points, pos, q, r_c,
+        p_tile=128, a_tile=128, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=1e-5)

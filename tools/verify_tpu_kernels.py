@@ -72,6 +72,28 @@ def main():
     if rel >= 5e-4:
         return 1
 
+    # ---- production wiring: compute_density brute-force path picks the
+    # Pallas kernel on accelerator devices (ops/density.py); host separable
+    # path is the oracle
+    from coulomb_gmg_tpu.mesh.forest import Forest
+    from coulomb_gmg_tpu.ops.density import compute_density
+    from coulomb_gmg_tpu.ops.q1 import element_tables
+    f = Forest.uniform(3, 12, np.zeros(3), 0.25)
+    tab = element_tables(3, 1, 2)
+    posf = rng.uniform(0.2, 2.8, (700, 3))
+    qf = rng.choice([-1.0, 1.0], 700)
+    host = compute_density(f, tab.points, posf, qf, r_c, dtype=np.float32)
+    t0 = time.time()
+    dev_rho = compute_density(f, tab.points, posf, qf, r_c,
+                              dtype=np.float32, device=dev)
+    t_dev = time.time() - t0
+    rel2 = float(np.max(np.abs(dev_rho - host))
+                 / (np.max(np.abs(host)) + 1e-30))
+    emit({"check": "compute_density_bruteforce_pallas", "rel_err": rel2,
+          "pass": rel2 < 1e-3, "wall_s": round(t_dev, 2)})
+    if rel2 >= 1e-3:
+        return 1
+
     # ---- head-to-head: pallas MXU distance-matrix vs jnp dense (what XLA
     # makes of the same math) at three atom counts, fixed point count
     def timeit_pull(fn, iters=8):
@@ -81,12 +103,25 @@ def main():
         s = sum(float(np.asarray(o).ravel()[0]) for o in outs[-1:])
         return (time.time() - t0) / iters
 
+    from coulomb_gmg_tpu.ops.pallas_density import _density_call
+
     for A in [int(s) for s in args.sizes.split(",")]:
         posA = rng.uniform(0.0, 7.0, (A, 3)).astype(np.float32)
         qA = rng.choice([-1.0, 1.0], A).astype(np.float32)
         ptsP = rng.uniform(0.0, 7.0, (P, 3)).astype(np.float32)
 
-        t_pal = timeit_pull(lambda: density_pallas(ptsP, posA, qA, r_c))
+        # device-resident inputs for BOTH forms: what the production chunk
+        # loop sees after its one-time uploads
+        p_tile = a_tile = 512
+        Pp = (P + p_tile - 1) // p_tile * p_tile
+        Ap = (A + a_tile - 1) // a_tile * a_tile
+        pt = np.zeros((8, Pp), np.float32); pt[:3, :P] = ptsP.T
+        pt[0, P:] = 1e6
+        at = np.zeros((8, Ap), np.float32); at[:3, :A] = posA.T
+        qt = np.zeros((1, Ap), np.float32); qt[0, :A] = qA
+        ptd, atd, qtd = map(jnp.asarray, (pt, at, qt))
+        t_pal = timeit_pull(lambda: _density_call(
+            ptd, atd, qtd, float(r_c), p_tile, a_tile, False))
 
         pj = jnp.asarray(ptsP)
         aj = jnp.asarray(posA)
