@@ -112,27 +112,109 @@ def _local_matvec(rows_local, cols, data, x_full, block):
     return jnp.zeros(block, dtype=vals.dtype).at[rows_local].add(vals)
 
 
+# ---------------------------------------------------------------------------
+# Halo exchange: owned/ghost index sets + all_to_all ghost import.
+#
+# The TPU-native equivalent of deal.II's locally_owned / locally_relevant
+# IndexSets and Trilinos ghost imports (src/step-50.cc:653-657, 722-731):
+# instead of all_gather-ing the whole vector (O(n) ICI traffic and O(n)
+# replicated memory per device), each device receives ONLY the ghost
+# entries its operator block actually reads — O(ghost) traffic, O(block +
+# ghost) memory, which is what lets weak scaling hold as levels grow.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class HaloPlan:
+    """Static exchange plan for one row-partitioned operator.
+
+    send_idx: (D, D, Eh) int32 — for sender s (leading axis when sharded),
+        send_idx[s, d] = LOCAL indices into s's block of the values that
+        device d needs; padded with 0 (receivers never read pad slots).
+    cols_local: (D, E) int32 — operator column ids rewritten to the
+        extended local numbering [own block | ghost buffer], where the
+        ghost buffer is laid out as D pads of Eh entries (one per sender).
+    Eh: ghost pad width (max over ordered device pairs).
+    """
+
+    send_idx: np.ndarray
+    cols_local: np.ndarray
+    Eh: int
+
+    @staticmethod
+    def build(cols: np.ndarray, block: int, n_dev: int) -> "HaloPlan":
+        """cols: (D, E) GLOBAL column ids of each device's COO block."""
+        D = n_dev
+        need = []            # need[d][s] = sorted global ids d needs from s
+        for d in range(D):
+            g = np.unique(cols[d])
+            outside = g[(g < d * block) | (g >= (d + 1) * block)]
+            owners = np.minimum(outside // block, D - 1)
+            need.append([outside[owners == s] for s in range(D)])
+        Eh = max([1] + [len(lst) for per in need for lst in per])
+        send_idx = np.zeros((D, D, Eh), dtype=np.int32)
+        for d in range(D):
+            for s in range(D):
+                lst = need[d][s]
+                send_idx[s, d, : len(lst)] = (lst - s * block).astype(
+                    np.int32)
+        cols_local = np.empty_like(cols, dtype=np.int32)
+        for d in range(D):
+            own_lo = d * block
+            c = cols[d]
+            inside = (c >= own_lo) & (c < own_lo + block)
+            cl = np.where(inside, c - own_lo, 0).astype(np.int32)
+            owner = np.minimum(c // block, D - 1)
+            for s in range(D):
+                sel = (~inside) & (owner == s)
+                if sel.any():
+                    p = np.searchsorted(need[d][s], c[sel])
+                    cl[sel] = (block + s * Eh + p).astype(np.int32)
+            cols_local[d] = cl
+        return HaloPlan(send_idx=send_idx, cols_local=cols_local, Eh=Eh)
+
+
+def halo_import(xb, send_idx, axis: str):
+    """Local (block,) + (D, Eh) send table -> (block + D*Eh,) extended
+    vector [own | ghosts] via one all_to_all over the mesh axis."""
+    buf = xb[send_idx]                                   # (D, Eh)
+    # recv[s] = the Eh values device s prepared for THIS device
+    recv = jax.lax.all_to_all(buf, axis, split_axis=0, concat_axis=0)
+    return jnp.concatenate([xb, recv.reshape(-1)])
+
+
 def make_sharded_solver(mesh: Mesh, A: ShardedCSR, diag_block: jnp.ndarray,
                         tol_rtol: float = 1e-8, maxiter: int = 500,
-                        damping: float = 0.6):
+                        damping: float = 0.6, halo: bool = True):
     """Jitted SPMD Jacobi-preconditioned CG (the reference's Jacobi solve
     path, src/step-50.cc:996-1005) over the device mesh.
+
+    ``halo=True`` (production): the SpMV ghost import moves only the ghost
+    entries each device's rows read (HaloPlan all_to_all — the IndexSet/
+    ghost-import semantics of src/step-50.cc:653-657); ``halo=False``
+    replicates the whole vector per device (all_gather) — kept as the
+    brute-force oracle for invariance tests.
 
     Returns fn(rhs_blocks, x0_blocks) -> (x_blocks, iters, res0, res).
     rhs/x blocks have shape (D, block).
     """
     axis = mesh.axis_names[0]
     spec = P(axis)
+    D = mesh.devices.size
+    plan = HaloPlan.build(A.cols, A.block, D) if halo else None
 
-    def solve(rhs_b, x0_b, rows_local, cols, data, inv_diag):
+    def solve(rhs_b, x0_b, rows_local, cols, data, inv_diag, send_idx):
         # shard_map local views keep the leading (device) axis of size 1
         rhs_b, x0_b = rhs_b[0], x0_b[0]
         rows_local, cols, data, inv_diag = (rows_local[0], cols[0], data[0],
                                             inv_diag[0])
 
         def matvec(xb):
-            x_full = jax.lax.all_gather(xb, axis, tiled=True)
-            return _local_matvec(rows_local, cols, data, x_full, A.block)
+            if plan is not None:
+                x_ext = halo_import(xb, send_idx[0], axis)
+            else:
+                x_ext = jax.lax.all_gather(xb, axis, tiled=True)
+            return _local_matvec(rows_local, cols, data, x_ext, A.block)
 
         def dot(a, b):
             return jax.lax.psum(jnp.vdot(a, b), axis)
@@ -173,15 +255,18 @@ def make_sharded_solver(mesh: Mesh, A: ShardedCSR, diag_block: jnp.ndarray,
     fn = shard_map(
         partial(solve),
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec, spec),
+        in_specs=(spec, spec, spec, spec, spec, spec, spec),
         out_specs=(spec, P(), P(), P()),
         check_rep=False,
     )
 
     rows_local = put_blocks(A.rows_local, mesh)
-    cols = put_blocks(A.cols, mesh)
+    cols = put_blocks(plan.cols_local if plan is not None else A.cols, mesh)
     data = put_blocks(np.asarray(A.data), mesh)
     inv_diag_b = put_blocks(np.asarray(inv_diag), mesh)
+    send_idx = put_blocks(
+        plan.send_idx if plan is not None
+        else np.zeros((D, 1, 1), np.int32), mesh)
 
     # the matrix blocks are jit ARGUMENTS, not closure constants: closed-over
     # concrete arrays are baked into the jaxpr, which requires fetching their
@@ -190,7 +275,8 @@ def make_sharded_solver(mesh: Mesh, A: ShardedCSR, diag_block: jnp.ndarray,
     run_impl = jax.jit(fn)
 
     def run(rhs_b, x0_b):
-        return run_impl(rhs_b, x0_b, rows_local, cols, data, inv_diag_b)
+        return run_impl(rhs_b, x0_b, rows_local, cols, data, inv_diag_b,
+                        send_idx)
 
     return run
 
