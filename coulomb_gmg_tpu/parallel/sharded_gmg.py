@@ -32,7 +32,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from coulomb_gmg_tpu.parallel.sharded import round_up, shard_map
+from coulomb_gmg_tpu.parallel.sharded import (
+    round_up, shard_map, HaloPlan, halo_import)
 
 
 def _block_coo(rowids, cols, data, n_rows: int, n_dev: int, np_dtype):
@@ -97,6 +98,13 @@ class _LevelBlocks:
     ct_src: Optional[np.ndarray] = None
     cf_dst: Optional[np.ndarray] = None  # copy_from: global slots <- level
     cf_src: Optional[np.ndarray] = None
+    # halo send tables (owned/ghost IndexSets per level,
+    # src/step-50.cc:722-731): one per SOURCE vector a level operator reads
+    sh_A: Optional[np.ndarray] = None    # level-l vector (A, if, ifT)
+    sh_R: Optional[np.ndarray] = None    # level-l residual, rows on l-1
+    sh_P: Optional[np.ndarray] = None    # level-(l-1) coarse solution
+    sh_ct: Optional[np.ndarray] = None   # global system vector
+    sh_cf: Optional[np.ndarray] = None   # level-l solution -> global
 
 
 class ShardedGMG:
@@ -105,7 +113,7 @@ class ShardedGMG:
     def __init__(self, gmg, sys_csr, mesh: Mesh, dtype=jnp.float32,
                  smoother_degree: int = 4, smoothing_range: float = 8.0,
                  coarse_maxiter: int = 500, coarse_rtol: float = 1e-10,
-                 maxiter: int = 50):
+                 maxiter: int = 50, halo: bool = True):
         from coulomb_gmg_tpu.solver.tpu_gmg import _power_lmax
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
@@ -167,7 +175,55 @@ class ShardedGMG:
                 gmg.copy_global[l], gmg.copy_level[l], n, D)
             self.levels.append(lv)
 
+        # ---- owned/ghost halo plans: every level operator's ghost import
+        # becomes an all_to_all of only the entries it reads
+        # (src/step-50.cc:722-731 locally_relevant level IndexSets), instead
+        # of replicating whole level vectors per device.
+        self.halo = bool(halo)
+        if self.halo:
+            self._build_halo_plans()
+
         self._solver = self._build()
+
+    def _build_halo_plans(self):
+        D = self.D
+        # system operator reads the global solution vector
+        sr, sc, sd = self.sys_blocks
+        plan = HaloPlan.build(sc, self.block, D)
+        self.sys_blocks = (sr, plan.cols_local, sd)
+        self.sys_sh = plan.send_idx
+        for l, lv in enumerate(self.levels):
+            # A / interface / interface^T all read the level-l vector:
+            # ONE shared plan (union of their ghost columns)
+            group = [lv.a_c]
+            if lv.if_c is not None:
+                group += [lv.if_c, lv.ifT_c]
+            cat = np.concatenate(group, axis=1)
+            plan = HaloPlan.build(cat, lv.block, D)
+            w = lv.a_c.shape[1]
+            lv.a_c = plan.cols_local[:, :w]
+            if lv.if_c is not None:
+                w2 = lv.if_c.shape[1]
+                lv.if_c = plan.cols_local[:, w: w + w2]
+                lv.ifT_c = plan.cols_local[:, w + w2:]
+            lv.sh_A = plan.send_idx
+            if lv.r_c is not None:
+                # restriction rows live on level l-1 but read the level-l
+                # residual (block = this level's)
+                plan = HaloPlan.build(lv.r_c, lv.block, D)
+                lv.r_c = plan.cols_local
+                lv.sh_R = plan.send_idx
+            if lv.p_c is not None:
+                blk_c = self.levels[l - 1].block
+                plan = HaloPlan.build(lv.p_c, blk_c, D)
+                lv.p_c = plan.cols_local
+                lv.sh_P = plan.send_idx
+            plan = HaloPlan.build(lv.ct_src, self.block, D)
+            lv.ct_src = plan.cols_local
+            lv.sh_ct = plan.send_idx
+            plan = HaloPlan.build(lv.cf_src, lv.block, D)
+            lv.cf_src = plan.cols_local
+            lv.sh_cf = plan.send_idx
 
     # ------------------------------------------------------------------
 
@@ -183,9 +239,20 @@ class ShardedGMG:
         coarse_rtol = self.coarse_rtol
         maxiter = self.maxiter
 
+        halo = self.halo
+
         def gather(xb):
-            """(block,) local -> (n_pad,) replicated ghost import."""
+            """(block,) local -> (n_pad,) replicated ghost import
+            (halo=False oracle path)."""
             return jax.lax.all_gather(xb, axis, tiled=True)
+
+        def ghost(xb, sh):
+            """Owned/ghost import: extended local vector via all_to_all of
+            only the ghost entries (sh = HaloPlan send table), or the
+            replicated all_gather when halo is off."""
+            if halo:
+                return halo_import(xb, sh, axis)
+            return gather(xb)
 
         def coo_mv(r, c, d, x_full, block):
             vals = d * x_full[c]
@@ -194,11 +261,11 @@ class ShardedGMG:
         def pdot(a, b):
             return jax.lax.psum(jnp.vdot(a, b), axis)
 
-        def cheb(lv_ops, blk, d, x0, from_zero):
+        def cheb(lv_ops, sh, blk, d, x0, from_zero):
             (ar, ac, ad, inv_diag, theta, delta) = lv_ops
 
             def amv(v):
-                return coo_mv(ar, ac, ad, gather(v), blk)
+                return coo_mv(ar, ac, ad, ghost(v, sh), blk)
 
             if from_zero:
                 r = inv_diag * d
@@ -216,13 +283,13 @@ class ShardedGMG:
                 rho_old = rho
             return x
 
-        def coarse_solve(lv_ops, blk, d):
-            """Redundant CG on the replicated coarse system: every device
-            owns its row block but iterates identically (psum dots)."""
+        def coarse_solve(lv_ops, sh, blk, d):
+            """Redundant CG on the coarse system: every device owns its row
+            block but iterates identically (psum dots)."""
             (ar, ac, ad, inv_diag, theta, delta) = lv_ops
 
             def amv(v):
-                return coo_mv(ar, ac, ad, gather(v), blk)
+                return coo_mv(ar, ac, ad, ghost(v, sh), blk)
 
             x = jnp.zeros_like(d)
             r = d
@@ -263,46 +330,52 @@ class ShardedGMG:
             sys_ops = ops["sys"]
             lv_ops = ops["levels"]
 
+            sys_sh = ops.get("sys_sh")
+
             def sys_mv(v):
                 (sr, sc, sd) = sys_ops
-                return coo_mv(sr, sc, sd, gather(v), block_sys)
+                return coo_mv(sr, sc, sd, ghost(v, sys_sh), block_sys)
 
             def vcycle(g):
-                gfull = gather(g)
                 defect = []
                 for l in range(L + 1):
                     (ct_dst, ct_src, cf_dst, cf_src) = lv_ops[l]["copy"]
                     blk = levels[l].block
+                    gx = ghost(g, lv_ops[l]["sh_ct"])
                     dl = jnp.zeros(blk + 1, dtype).at[ct_dst].set(
-                        gfull[ct_src])[:blk]
+                        gx[ct_src])[:blk]
                     defect.append(dl)
                 sol = [None] * (L + 1)
                 for l in range(L, 0, -1):
                     blk = levels[l].block
-                    u = cheb(lv_ops[l]["A"], blk, defect[l], defect[l], True)
-                    rfull = gather(u)
+                    sh_A = lv_ops[l]["sh_A"]
+                    u = cheb(lv_ops[l]["A"], sh_A, blk, defect[l],
+                             defect[l], True)
+                    rfull = ghost(u, sh_A)
                     r = defect[l] - coo_mv(*lv_ops[l]["A"][:3], rfull, blk)
                     if lv_ops[l]["if"] is not None:
                         r = r - coo_mv(*lv_ops[l]["if"], rfull, blk)
                     # restriction: rows on the coarser level's partition
-                    rfull2 = gather(r)
+                    rfull2 = ghost(r, lv_ops[l]["sh_R"])
                     defect[l - 1] = defect[l - 1] + coo_mv(
                         *lv_ops[l]["R"], rfull2, levels[l - 1].block)
                     sol[l] = u
-                sol[0] = coarse_solve(lv_ops[0]["A"], levels[0].block,
-                                      defect[0])
+                sol[0] = coarse_solve(lv_ops[0]["A"], lv_ops[0]["sh_A"],
+                                      levels[0].block, defect[0])
                 for l in range(1, L + 1):
                     blk = levels[l].block
-                    cfull = gather(sol[l - 1])
+                    cfull = ghost(sol[l - 1], lv_ops[l]["sh_P"])
                     u = sol[l] + coo_mv(*lv_ops[l]["P"], cfull, blk)
                     d = defect[l]
                     if lv_ops[l]["ifT"] is not None:
-                        d = d - coo_mv(*lv_ops[l]["ifT"], gather(u), blk)
-                    sol[l] = cheb(lv_ops[l]["A"], blk, d, u, False)
+                        d = d - coo_mv(*lv_ops[l]["ifT"],
+                                       ghost(u, lv_ops[l]["sh_A"]), blk)
+                    sol[l] = cheb(lv_ops[l]["A"], lv_ops[l]["sh_A"], blk,
+                                  d, u, False)
                 out = jnp.zeros(block_sys + 1, dtype)
                 for l in range(L + 1):
                     (ct_dst, ct_src, cf_dst, cf_src) = lv_ops[l]["copy"]
-                    sfull = gather(sol[l])
+                    sfull = ghost(sol[l], lv_ops[l]["sh_cf"])
                     out = out.at[cf_dst].set(sfull[cf_src])
                 return out[:block_sys]
 
@@ -350,11 +423,15 @@ class ShardedGMG:
                         if lv.p_r is not None else None,
                    "R": (lv.r_r, lv.r_c, lv.r_d)
                         if lv.r_r is not None else None,
-                   "copy": (lv.ct_dst, lv.ct_src, lv.cf_dst, lv.cf_src)}
+                   "copy": (lv.ct_dst, lv.ct_src, lv.cf_dst, lv.cf_src),
+                   "sh_A": lv.sh_A, "sh_R": lv.sh_R, "sh_P": lv.sh_P,
+                   "sh_ct": lv.sh_ct, "sh_cf": lv.sh_cf}
             return out
 
         ops = {"sys": self.sys_blocks,
                "levels": [lv_dict(lv) for lv in self.levels]}
+        if self.halo:
+            ops["sys_sh"] = self.sys_sh
         # replicated leaves (block sizes, theta/delta scalars) must not be
         # sharded: lift scalars/ints out of the tree by broadcasting to
         # per-device arrays where needed.

@@ -72,3 +72,28 @@ def test_sharded_iteration_count_device_invariant(small_sim):
         _, k, _, _ = sg.solve(rhs, rtol=1e-8)
         counts[d] = k
     assert counts[1] == counts[4] == counts[8], counts
+
+
+def test_halo_ghost_import_matches_allgather(small_sim):
+    """Owned/ghost halo exchange (HaloPlan all_to_all, the IndexSet ghost
+    import of src/step-50.cc:722-731) vs whole-vector all_gather: identical
+    math -> identical iteration counts and solutions."""
+    from coulomb_gmg_tpu.parallel.sharded_gmg import ShardedGMG
+
+    sim = small_sim
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(devs[:8]), ("shard",))
+    rhs = np.asarray(sim.rhs)
+
+    outs = {}
+    for halo in (True, False):
+        sg = ShardedGMG(sim.gmg, sim.A, mesh, dtype=sim.dtype, maxiter=50,
+                        halo=halo)
+        x, k, res0, res = sg.solve(rhs, rtol=1e-8)
+        outs[halo] = (x, k, res)
+    x_h, k_h, _ = outs[True]
+    x_a, k_a, _ = outs[False]
+    assert k_h == k_a
+    np.testing.assert_allclose(x_h, x_a, rtol=1e-6, atol=1e-10)
