@@ -94,17 +94,30 @@ from functools import partial as _partial
 import jax as _jax
 
 
-@_partial(_jax.jit, static_argnames=("dim",))
+@_partial(_jax.jit, static_argnames=("dim", "use_pallas"))
 def _enorm_chunk(ucell, dphi, h, lower, pref, pos, q, r_c, w, valid,
-                 dim: int):
+                 dim: int, use_pallas: bool = False):
     """Energy-norm error contribution of one fixed-size cell chunk.
     The (chunk, n_q, atoms, dim) exact-gradient intermediate is what makes
     the naive whole-mesh evaluation blow past memory (the single largest
     cost of the 216-atom run: 220 s of 310 s); chunking bounds it and the
-    jit compiles once."""
+    jit compiles once.
+
+    use_pallas: evaluate grad u_exact through the MXU distance-matrix
+    kernel (ops/pallas_gradient.py) — the production accelerator path for
+    this, the pipeline's hottest stage.  ``pos``/``q`` then arrive as the
+    prepadded (8, Ap)/(1, Ap) transposed layouts."""
     grad_h = jnp.einsum("cb,qbd->cqd", ucell, dphi) / h[:, None, None]
     pts = lower[:, None, :] + h[:, None, None] * pref[None, :, :]
-    grad_ex = analytic_solution_gradient(pts, pos, q, r_c)
+    if use_pallas:
+        from coulomb_gmg_tpu.ops.pallas_gradient import _grad_call
+        C, n_q, _ = pts.shape
+        flat = pts.reshape(C * n_q, dim).astype(jnp.float32)
+        pt = jnp.zeros((8, C * n_q), jnp.float32).at[:dim, :].set(flat.T)
+        gT = _grad_call(pt, pos, q, float(r_c), 512, 512, False)  # (3, P)
+        grad_ex = jnp.transpose(gT)[:, :dim].reshape(C, n_q, dim)
+    else:
+        grad_ex = analytic_solution_gradient(pts, pos, q, r_c)
     diff2 = jnp.sum((grad_h - grad_ex) ** 2, axis=-1)   # (c, q)
     return jnp.sum(jnp.sum(diff2 * w[None, :], axis=1) * h ** dim * valid)
 
@@ -134,10 +147,30 @@ def energy_norm_error(forest: Forest, tables: ElementTables, u,
     dphi = put(tables.dphi)
     pref = put(tables.points)
     w = put(tables.weights)
-    pos = put(positions)
-    q = put(charges)
 
-    chunk = min(chunk, max(n, 1))
+    # accelerator path: MXU distance-matrix gradient kernel.  Coordinates
+    # are centered on the atom centroid first — the |x|^2+|X|^2-2x.X trick
+    # cancels catastrophically in f32 when coordinates are large (box
+    # [0,20]^3 at 64k atoms), and the gradient is shift-invariant.
+    use_pallas = (device is not None
+                  and getattr(device, "platform", "cpu") != "cpu"
+                  and dim == 3)
+    if use_pallas:
+        off = np.asarray(positions).mean(axis=0)
+        lower = lower - off
+        A = len(positions)
+        Ap = ((A + 511) // 512) * 512
+        at = np.zeros((8, Ap), np.float32)
+        at[:dim, :A] = (np.asarray(positions) - off).T
+        qt = np.zeros((1, Ap), np.float32)
+        qt[0, :A] = np.asarray(charges)
+        pos = put(at)
+        q = put(qt)
+        chunk = 2048                      # keeps C*n_q a lane-tile multiple
+    else:
+        pos = put(positions)
+        q = put(charges)
+        chunk = min(chunk, max(n, 1))
     n_pad = ((n + chunk - 1) // chunk) * chunk
     h_p = np.ones(n_pad); h_p[:n] = h
     lo_p = np.zeros((n_pad, dim)); lo_p[:n] = lower
@@ -149,6 +182,7 @@ def energy_norm_error(forest: Forest, tables: ElementTables, u,
         e = _enorm_chunk(
             put(uc_p[s:s + chunk]), dphi,
             put(h_p[s:s + chunk]), put(lo_p[s:s + chunk]),
-            pref, pos, q, float(r_c), w, put(val_p[s:s + chunk]), dim=dim)
+            pref, pos, q, float(r_c), w, put(val_p[s:s + chunk]), dim=dim,
+            use_pallas=use_pallas)
         err = e if err is None else err + e
     return float(np.sqrt(np.asarray(err)))

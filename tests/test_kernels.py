@@ -178,3 +178,36 @@ def test_pallas_density_cells_matches_compute_density():
         f.cell_lower(), f.cell_h(), tab.points, pos, q, r_c,
         p_tile=128, a_tile=128, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=1e-5)
+
+
+def test_pallas_gradient_matches_reference_formula():
+    from coulomb_gmg_tpu.ops.pallas_gradient import exact_gradient_pallas
+    from coulomb_gmg_tpu.models.problems import analytic_solution_gradient
+    rng = np.random.default_rng(6)
+    P, A = 300, 41
+    pts = rng.uniform(-2, 2, (P, 3))
+    pos = rng.uniform(-1, 1, (A, 3))
+    q = rng.choice([-1.0, 1.0], A)
+    r_c = 0.5
+    ref = np.asarray(analytic_solution_gradient(
+        jnp.asarray(pts), jnp.asarray(pos), jnp.asarray(q), r_c))
+    got = np.asarray(exact_gradient_pallas(pts, pos, q, r_c, p_tile=128,
+                                           a_tile=128, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_pallas_gradient_zero_at_atom_position():
+    """The reference zeroes the (removable) singularity at atom positions
+    (include/step_50.h:355-369); the kernel's guard must reproduce that."""
+    from coulomb_gmg_tpu.ops.pallas_gradient import exact_gradient_pallas
+    pos = np.array([[0.5, 0.5, 0.5], [1.0, 1.0, 1.0]])
+    q = np.array([1.0, -1.0])
+    pts = np.array([[0.5, 0.5, 0.5]])        # exactly ON atom 0
+    g = np.asarray(exact_gradient_pallas(pts, pos, q, 0.4, p_tile=128,
+                                         a_tile=128, interpret=True))
+    assert np.all(np.isfinite(g))
+    # only atom 1's (finite) contribution remains
+    from coulomb_gmg_tpu.models.problems import analytic_solution_gradient
+    ref = np.asarray(analytic_solution_gradient(
+        jnp.asarray(pts), jnp.asarray(pos), jnp.asarray(q), 0.4))
+    np.testing.assert_allclose(g, ref, rtol=1e-3, atol=1e-5)

@@ -94,6 +94,31 @@ def main():
     if rel2 >= 1e-3:
         return 1
 
+    # ---- FE-error postprocess: the production accelerator path runs the
+    # exact gradient through the MXU kernel (ops/pallas_gradient.py);
+    # oracle = the f64 host evaluation of the same integral
+    from coulomb_gmg_tpu.postprocess.energy import energy_norm_error
+    from coulomb_gmg_tpu.ops.q1 import element_tables as _etab
+    fh = Forest.uniform(3, 16, np.zeros(3), 0.25)
+    tabh = _etab(3, 1, 2)
+    posh = rng.uniform(0.5, 3.5, (512, 3))
+    qh = rng.choice([-1.0, 1.0], 512)
+    dofs_h = fh.dofs_of(1)
+    uh = rng.standard_normal(dofs_h.n_dofs) * 0.01
+    t0 = time.time()
+    e_dev = energy_norm_error(fh, tabh, uh, posh, qh, r_c, device=dev,
+                              dtype=np.float32)
+    t_dev = time.time() - t0
+    t0 = time.time()
+    e_host = energy_norm_error(fh, tabh, uh, posh, qh, r_c)
+    t_host = time.time() - t0
+    rel3 = abs(e_dev - e_host) / abs(e_host)
+    emit({"check": "energy_norm_error_pallas_gradient", "rel_err": rel3,
+          "pass": rel3 < 2e-3, "dev_s": round(t_dev, 2),
+          "host_s": round(t_host, 2)})
+    if rel3 >= 2e-3:
+        return 1
+
     # ---- head-to-head: pallas MXU distance-matrix vs jnp dense (what XLA
     # makes of the same math) at three atom counts, fixed point count
     def timeit_pull(fn, iters=8):
