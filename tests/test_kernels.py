@@ -211,3 +211,20 @@ def test_pallas_gradient_zero_at_atom_position():
     ref = np.asarray(analytic_solution_gradient(
         jnp.asarray(pts), jnp.asarray(pos), jnp.asarray(q), 0.4))
     np.testing.assert_allclose(g, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_energy_norm_error_f32_matches_f64():
+    """The f32 matmul-gradient path tracks the f64 reference path to
+    single-precision accuracy on a small production-shaped problem."""
+    from coulomb_gmg_tpu.postprocess.energy import energy_norm_error
+    from coulomb_gmg_tpu.mesh.forest import Forest
+    from coulomb_gmg_tpu.ops.q1 import element_tables
+    f = Forest.uniform(3, 6, np.zeros(3), 0.3)
+    tab = element_tables(3, 1, 2)
+    rng = np.random.default_rng(8)
+    pos = rng.uniform(0.4, 1.4, (29, 3))
+    q = rng.choice([-1.0, 1.0], 29)
+    u = rng.standard_normal(f.dofs_of(1).n_dofs) * 0.01
+    e64 = energy_norm_error(f, tab, u, pos, q, 0.5)
+    e32 = energy_norm_error(f, tab, u, pos, q, 0.5, dtype=np.float32)
+    assert abs(e32 - e64) / e64 < 5e-4, (e32, e64)
