@@ -605,9 +605,13 @@ class Simulation:
                     self.cfg.r_c, device=dev,
                     dtype=np.float32 if f32 else None)
             # elastic placement: a stalling shared-pool accelerator demotes
-            # subsequent cycles to the host (same policy as density/solve)
+            # subsequent cycles to the host (same policy as density/solve).
+            # The threshold scales with the stage's work: at 64k atoms the
+            # exact-gradient stage legitimately needs minutes of MXU time —
+            # demotion is for a WEDGED pool, not for a big problem.
+            scale = max(1.0, work / 2e10)
             self.maybe_demote(_time.time() - _t0,
-                              self.cfg.demote_postprocess_s,
+                              self.cfg.demote_postprocess_s * scale,
                               dev is not None)
         self.pcout("Error in FE solution in energy norm:  " + sci10(err))
         return err

@@ -39,6 +39,8 @@ def main():
                     help="allow the accelerator backend (default: host)")
     ap.add_argument("--timers", action="store_true",
                     help="print the per-stage walltime table after each size")
+    ap.add_argument("--verbose", action="store_true",
+                    help="stream the reference-schema per-cycle log lines")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -65,7 +67,8 @@ def main():
             flag_output_time=False,
         )
         t0 = time.time()
-        sim = Simulation(cfg, atoms=atoms, pcout=Pcout(enabled=False))
+        sim = Simulation(cfg, atoms=atoms,
+                         pcout=Pcout(enabled=args.verbose))
         results = sim.run()
         wall = time.time() - t0
         last = results[-1]
