@@ -143,6 +143,16 @@ def main():
     except Exception as ex:  # pragma: no cover
         results.append({"kernel": "density_pallas_mxu", "error": str(ex)[:200]})
 
+    # exact-gradient kernel (FE-error postprocess hot stage)
+    from coulomb_gmg_tpu.ops.pallas_gradient import exact_gradient_pallas
+    try:
+        t = timeit(lambda: exact_gradient_pallas(
+            pts, pos, q, r_c, interpret=not on_tpu), iters=5)
+        report("exact_gradient_pallas_mxu", t, pairs, "pairs/s")
+    except Exception as ex:  # pragma: no cover
+        results.append({"kernel": "exact_gradient_pallas_mxu",
+                        "error": str(ex)[:200]})
+
     # ---------------- smoother sweep ----------------
     # damped-Jacobi step: x += w D^-1 (b - A x)  -> one SpMV + 3 streams
     inv_diag = jnp.asarray(0.6 / 6.0 * np.ones(e.n_rows, np.float32))
