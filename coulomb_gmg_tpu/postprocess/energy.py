@@ -166,7 +166,10 @@ def energy_norm_error(forest: Forest, tables: ElementTables, u,
         qt[0, :A] = np.asarray(charges)
         pos = put(at)
         q = put(qt)
-        chunk = 2048                      # keeps C*n_q a lane-tile multiple
+        # large fixed chunk: C*n_q stays a lane-tile multiple and the
+        # dispatch count drops 4x (the tunnel charges ~ms per dispatch;
+        # at 1.8M cells that is 880 vs 220 round trips per cycle)
+        chunk = 8192
     else:
         pos = put(positions)
         q = put(charges)
