@@ -25,6 +25,15 @@ locally-owned cells, and the solve runs on row-partitioned level matrices
 
 Everything compiles once per mesh topology and device count; XLA inserts
 the collectives (psum over ICI).
+
+Deliberately NOT sharded: the Kelly estimator + marking
+(adapt/estimator.py) runs replicated on host over the full mesh with the
+ghost-complete solution — numerically identical to every rank estimating
+its own cells with ghosted vectors and MPI-maxing the threshold
+(src/step-50.cc:1040-1089), because the threshold is a global max and the
+per-cell indicators are independent.  It is host numpy by design (fresh
+topology every cycle would force per-cycle XLA recompiles), so sharding
+it over devices would change nothing but add collectives.
 """
 
 from __future__ import annotations
