@@ -441,8 +441,14 @@ class Simulation:
                     # elastic placement: if the tunneled accelerator is
                     # stalling (shared-pool latency), demote subsequent
                     # cycles to the host backend — same solver, same math.
+                    # A slow HOST solve (solve_dev None: dofs below the
+                    # device floor) says nothing about pool health and must
+                    # NOT demote — at 64k atoms the >60 s host solve was
+                    # knocking the accelerator out before the FE-error
+                    # stage that actually needs it.
                     self.maybe_demote(_time.time() - _t0,
-                                      cfg.demote_hot_stage_s)
+                                      cfg.demote_hot_stage_s,
+                                      used_accelerator=solve_dev is not None)
                 else:
                     from coulomb_gmg_tpu.solver.tpu_cg import tpu_cg_solve
                     x, k, res0, resf = tpu_cg_solve(
