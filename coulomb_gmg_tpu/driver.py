@@ -219,11 +219,15 @@ class Simulation:
                 work = f.n_cells * len(self.tab_rhs.points) * eff_atoms
                 # the padded-list density is a gather-bound kernel, not a
                 # distance matrix: per pair it moves ~16 B of list/position
-                # data for ~6 flops, so the tunneled accelerator loses until
-                # far larger sizes (measured at 8000 atoms / 545k cells,
-                # work 2.1e9: host 12.9 s vs accelerator 43.4 s — PERF.md).
+                # data for ~6 flops, so the tunneled accelerator LOSES at
+                # every size measured (8000 atoms / 545k cells / work
+                # 2.1e9: host 12.9 s vs accelerator 43.4 s; at 64k the
+                # list width K~300 makes the gathers even colder — and a
+                # slow offload here used to demote the accelerator before
+                # the FE-error stage that genuinely needs it).  Host,
+                # unconditionally.
                 if self.lists is not None and cfg.flag_rhs_assembly:
-                    work = work / 16.0
+                    work = 0.0
                 if self.spmd is not None:
                     # device-sharded cell blocks, production kernel math
                     self.rho = self.spmd.density(
