@@ -94,7 +94,7 @@ from functools import partial as _partial
 import jax as _jax
 
 
-@_partial(_jax.jit, static_argnames=("dim", "use_pallas"))
+@_partial(_jax.jit, static_argnames=("dim", "use_pallas", "r_c"))
 def _enorm_chunk(ucell, dphi, h, lower, pref, pos, q, r_c, w, valid,
                  dim: int, use_pallas: bool = False):
     """Energy-norm error contribution of one fixed-size cell chunk.
