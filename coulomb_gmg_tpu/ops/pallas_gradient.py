@@ -59,17 +59,18 @@ def _grad_kernel(p_ref, a_ref, q_ref, o_ref, *, inv_rc):
         at, pt, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=hi)   # (A, P)
     r2 = jnp.maximum(pn + an - 2.0 * cross, 0.0)
-    r = jnp.sqrt(r2)
-    safe_r = jnp.where(r < 1e-7, 1.0, r)
-    rq = safe_r * inv_rc
+    near = r2 < 1e-14
+    ir = jax.lax.rsqrt(jnp.where(near, 1.0, r2))    # 1/r (rsqrt + mults
+    r = r2 * ir                                     #  beat sqrt + divide
+    rq = r * inv_rc                                 #  on the VPU)
     # radial/r = (2 r exp(-rq^2) inv_const - erf(rq)) / r^3
     # (Python-float constant: a np.float64 scalar would promote the whole
     # chain to f64 under x64 and break the f32 output ref in interpret mode)
     inv_const = float(inv_rc) / float(np.sqrt(np.pi))
     ex = jnp.exp(-rq * rq)
-    radial_over_r = (2.0 * safe_r * ex * inv_const
-                     - _erf_pos(rq, ex)) / (safe_r * safe_r * safe_r)
-    W = jnp.where(r < 1e-7, 0.0, radial_over_r) * q.reshape(-1, 1)  # (A, P)
+    radial_over_r = (2.0 * r * ex * inv_const
+                     - _erf_pos(rq, ex)) * (ir * ir * ir)
+    W = jnp.where(near, 0.0, radial_over_r) * q.reshape(-1, 1)  # (A, P)
     V = jax.lax.dot_general(
         at[:4], W, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=hi)   # (4, P) = X^T W

@@ -122,6 +122,44 @@ def _enorm_chunk(ucell, dphi, h, lower, pref, pos, q, r_c, w, valid,
     return jnp.sum(jnp.sum(diff2 * w[None, :], axis=1) * h ** dim * valid)
 
 
+@_partial(_jax.jit,
+          static_argnames=("dim", "r_c", "chunk", "n_chunks", "use_pallas"))
+def _enorm_device_loop(ucell, h, lower, valid, dphi, pref, w, pos, q,
+                       r_c, chunk: int, n_chunks: int, dim: int,
+                       use_pallas: bool = True):
+    """Whole-mesh energy-norm accumulation, device-resident.
+
+    The per-chunk host loop (``_enorm_chunk`` below) costs 4 H2D transfers
+    + 1 dispatch PER CHUNK through the tunneled accelerator — at 64k atoms
+    (1.8M cells, 219 chunks/cycle) that latency was ~75% of the stage's
+    132 s/cycle.  Here the mesh arrays ship ONCE and a ``fori_loop`` slices
+    chunks device-side: one dispatch, one scalar, per cycle.  ``n_chunks``
+    is static (the caller buckets the padded cell count) so one compile
+    covers every adaptive cycle of a run."""
+    def body(i, acc):
+        s = i * chunk
+        uc = _jax.lax.dynamic_slice_in_dim(ucell, s, chunk, 0)
+        hh = _jax.lax.dynamic_slice_in_dim(h, s, chunk, 0)
+        lo = _jax.lax.dynamic_slice_in_dim(lower, s, chunk, 0)
+        vv = _jax.lax.dynamic_slice_in_dim(valid, s, chunk, 0)
+        grad_h = jnp.einsum("cb,qbd->cqd", uc, dphi) / hh[:, None, None]
+        pts = lo[:, None, :] + hh[:, None, None] * pref[None, :, :]
+        if use_pallas:
+            from coulomb_gmg_tpu.ops.pallas_gradient import _grad_call
+            C, n_q, _ = pts.shape
+            flat = pts.reshape(C * n_q, dim).astype(jnp.float32)
+            pt = jnp.zeros((8, C * n_q), jnp.float32).at[:dim, :].set(flat.T)
+            gT = _grad_call(pt, pos, q, r_c, 512, 512, False)
+            grad_ex = jnp.transpose(gT)[:, :dim].reshape(C, n_q, dim)
+        else:
+            grad_ex = analytic_solution_gradient(pts, pos, q, r_c)
+        diff2 = jnp.sum((grad_h - grad_ex) ** 2, axis=-1)
+        return acc + jnp.sum(jnp.sum(diff2 * w[None, :], axis=1)
+                             * hh ** dim * vv)
+    return _jax.lax.fori_loop(0, n_chunks, body,
+                              jnp.zeros((), ucell.dtype))
+
+
 def energy_norm_error(forest: Forest, tables: ElementTables, u,
                       positions, charges, r_c: float,
                       chunk: int = 2048, device=None, dtype=None) -> float:
@@ -174,11 +212,25 @@ def energy_norm_error(forest: Forest, tables: ElementTables, u,
         pos = put(positions)
         q = put(charges)
         chunk = min(chunk, max(n, 1))
-    n_pad = ((n + chunk - 1) // chunk) * chunk
+    n_chunks = (n + chunk - 1) // chunk
+    if use_pallas and n_chunks > 16:
+        # bucket the chunk count so every adaptive cycle of a run hits the
+        # SAME compiled executable (remote compiles through the tunnel cost
+        # tens of seconds; cycle-to-cycle mesh growth is a few %)
+        n_chunks = ((n_chunks + 15) // 16) * 16
+    n_pad = n_chunks * chunk
     h_p = np.ones(n_pad); h_p[:n] = h
     lo_p = np.zeros((n_pad, dim)); lo_p[:n] = lower
     uc_p = np.zeros((n_pad,) + ucell.shape[1:]); uc_p[:n] = ucell
     val_p = np.zeros(n_pad); val_p[:n] = 1.0
+
+    if use_pallas:
+        # whole-mesh arrays ship once; the chunk loop runs device-side
+        err = _enorm_device_loop(
+            put(uc_p), put(h_p), put(lo_p), put(val_p),
+            dphi, pref, w, pos, q, float(r_c), chunk, n_chunks, dim,
+            use_pallas=True)
+        return float(np.sqrt(np.asarray(err)))
 
     err = None
     for s in range(0, n_pad, chunk):
