@@ -528,9 +528,13 @@ class Simulation:
             if not self.lammpsinput:
                 # analytic path uses the rhs function values in the residual
                 rho_q = self.rho
+            # numpy throughout: estimate() is host code, and jnp.asarray
+            # under an accelerator backend would round-trip these arrays
+            # through the tunnel (57 MB of rho_q at 31 MB/s up, 2.4 MB/s
+            # back — ~16 s/cycle of pure transfer at 64k atoms)
             err = estimate(self.forest,
                            self.forest.dofs_of(cfg.degree).cell2dof,
-                           jnp.asarray(self.solution), jnp.asarray(rho_q),
+                           np.asarray(self.solution), np.asarray(rho_q),
                            self.tab_rhs.points, self.tab_rhs.weights,
                            degree=cfg.degree)
             self.error_per_cell = err
