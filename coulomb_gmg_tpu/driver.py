@@ -438,7 +438,10 @@ class Simulation:
                         device=solve_dev, dtype=self.dtype,
                         use_dst=(cfg.problem == "GaussianCharges"
                                  and cfg.degree == 1),
-                        host_cache=self._tpu_host_cache)
+                        host_cache=self._tpu_host_cache,
+                        prev=getattr(self, "_tpu_gmg_prev", None))
+                    # keep for next cycle's system-ELL delta ship
+                    self._tpu_gmg_prev = gmg_tpu
                     x, k, res0, resf = gmg_tpu.solve(
                         rhs_np, x0_np, rtol=cfg.cg_rtol,
                         maxiter=cfg.cg_max_iters)

@@ -358,7 +358,7 @@ class TpuGMG:
                  dtype=jnp.float32, smoother_degree: int = 4,
                  smoothing_range: float = 8.0, use_dst: bool = True,
                  coarse_maxiter: int = 500, coarse_rtol: float = 1e-6,
-                 host_cache: Optional[dict] = None):
+                 host_cache: Optional[dict] = None, prev=None):
         import os
         import time
         self._debug = bool(os.environ.get("COULOMB_TPU_DEBUG"))
@@ -385,7 +385,36 @@ class TpuGMG:
         self.n = n
         self.n_pad = _pad_n(n)
         sc, sv = _to_ell(sys_csr, self.n_pad, self.np_dtype)
-        h_sys = (pk.i(sc), pk.f(sv))
+        # delta shipping: at production scale (1.85M rows x K=32 ~ 470 MB)
+        # re-transferring the full ELL every adaptive cycle costs ~15 s
+        # through the tunnel, yet per-level DoF numbering keeps >90% of
+        # rows bit-identical cycle-to-cycle (refinement only perturbs rows
+        # near new patches).  Ship changed rows and scatter-update the
+        # previous cycle's device arrays instead.
+        self._h_sys = (sc, sv)
+        self.sys_cols = self.sys_vals = None
+        self._sys_delta_rows = None    # set when the delta path is taken
+        h_sys = None
+        prev_h = getattr(prev, "_h_sys", None) if prev is not None else None
+        if (device is not None and prev_h is not None
+                and getattr(prev, "device", None) is device
+                and prev_h[0].shape == sc.shape
+                and prev.sys_cols is not None):
+            changed = np.flatnonzero(
+                np.any(sc != prev_h[0], axis=1)
+                | np.any(sv != prev_h[1], axis=1))
+            if len(changed) <= sc.shape[0] // 4:
+                idx = jax.device_put(changed.astype(np.int32), device)
+                self.sys_cols = prev.sys_cols.at[idx].set(
+                    jax.device_put(sc[changed], device))
+                self.sys_vals = prev.sys_vals.at[idx].set(
+                    jax.device_put(sv[changed], device))
+                self._sys_delta_rows = len(changed)
+                if self._debug:
+                    print(f"[tpu_gmg] sys ELL delta rows {len(changed)}"
+                          f"/{sc.shape[0]}", flush=True)
+        if self.sys_cols is None:
+            h_sys = (pk.i(sc), pk.f(sv))
 
         # ---- levels (host side: ELL conversions + handles into the packer)
         level_specs = []
@@ -513,7 +542,8 @@ class TpuGMG:
             return (views[h[0]], views[h[1]]) if h is not None else (None,
                                                                      None)
 
-        self.sys_cols, self.sys_vals = v2(h_sys)
+        if h_sys is not None:
+            self.sys_cols, self.sys_vals = v2(h_sys)
         self.levels = []
         for sp in level_specs:
             ec, ev = v2(sp["h_ell"])

@@ -228,3 +228,50 @@ def test_energy_norm_error_f32_matches_f64():
     e64 = energy_norm_error(f, tab, u, pos, q, 0.5)
     e32 = energy_norm_error(f, tab, u, pos, q, 0.5, dtype=np.float32)
     assert abs(e32 - e64) / e64 < 5e-4, (e32, e64)
+
+
+def test_tpu_gmg_sys_ell_delta_ship_matches_full_build():
+    """System-ELL delta shipping: rebuilding TpuGMG from a prev instance
+    with a few perturbed rows must (a) take the delta path, shipping only
+    the changed rows, and (b) solve identically to a fresh full build."""
+    import jax
+    from coulomb_gmg_tpu.config import golden_gaussian_config
+    from coulomb_gmg_tpu.driver import Simulation
+    from coulomb_gmg_tpu.models.atoms import two_atom_pair
+    from coulomb_gmg_tpu.ops.spmv import CSR
+    from coulomb_gmg_tpu.solver.tpu_gmg import TpuGMG
+    from coulomb_gmg_tpu.utils.logging import Pcout
+
+    cfg = golden_gaussian_config(n_adaptive_cycles=1, flag_output_time=False)
+    cfg = type(cfg)(**{**cfg.__dict__, "mesh_size_h": 0.5,
+                       "vacuum_repetitions": 4})
+    sim = Simulation(cfg, atoms=two_atom_pair(), pcout=Pcout(enabled=False))
+    sim.run()
+    dev = jax.devices()[0]          # CPU device object: still "a device"
+    rhs = np.asarray(sim.rhs, np.float64)
+
+    prev = TpuGMG(sim.gmg, sim.A, sim.forest, device=dev, dtype=jnp.float64,
+                  use_dst=True)
+    # next-cycle stand-in: same pattern, a few strengthened diagonal rows
+    data2 = np.asarray(sim.A.data).copy()
+    diag_pos = np.flatnonzero(sim.A.rowids == sim.A.indices)
+    bump = diag_pos[:: max(1, len(diag_pos) // 17)][:17]
+    data2[bump] *= 1.5              # SPD preserved
+    A2 = CSR.from_pattern(sim.A.indptr, sim.A.indices, data2,
+                          n_cols=sim.A.n_cols)
+
+    fresh = TpuGMG(sim.gmg, A2, sim.forest, device=dev, dtype=jnp.float64,
+                   use_dst=True)
+    delta = TpuGMG(sim.gmg, A2, sim.forest, device=dev, dtype=jnp.float64,
+                   use_dst=True, prev=prev)
+    assert delta._sys_delta_rows is not None, "delta path not taken"
+    assert 1 <= delta._sys_delta_rows <= len(bump)
+    np.testing.assert_array_equal(np.asarray(delta.sys_cols),
+                                  np.asarray(fresh.sys_cols))
+    np.testing.assert_array_equal(np.asarray(delta.sys_vals),
+                                  np.asarray(fresh.sys_vals))
+    xf, kf, _, _ = fresh.solve(rhs, rtol=1e-8)
+    xd, kd, _, _ = delta.solve(rhs, rtol=1e-8)
+    assert kf == kd
+    np.testing.assert_allclose(np.asarray(xd), np.asarray(xf),
+                               rtol=1e-12, atol=1e-14)
