@@ -539,7 +539,8 @@ class Simulation:
                            self.forest.dofs_of(cfg.degree).cell2dof,
                            np.asarray(self.solution), np.asarray(rho_q),
                            self.tab_rhs.points, self.tab_rhs.weights,
-                           degree=cfg.degree)
+                           degree=cfg.degree,
+                           use_volume_term=cfg.estimator_volume_term)
             self.error_per_cell = err
             self.flags, thr = mark_cells(err, cfg.refine_fraction_of_max)
         self.pcout("Threshold value for refinement:\t" + sci10(thr))
@@ -598,6 +599,8 @@ class Simulation:
 
     def postprocess_energy_norm(self):
         if self.cfg.problem != "GaussianCharges" or not self.lammpsinput:
+            return None
+        if not self.cfg.flag_postprocess_error:
             return None
         with self.timer.scope("Postprocess FE error"):
             work = self.forest.n_cells * len(self.tab_lap.points) * \
