@@ -442,9 +442,23 @@ class Simulation:
                         prev=getattr(self, "_tpu_gmg_prev", None))
                     # keep for next cycle's system-ELL delta ship
                     self._tpu_gmg_prev = gmg_tpu
-                    x, k, res0, resf = gmg_tpu.solve(
-                        rhs_np, x0_np, rtol=cfg.cg_rtol,
-                        maxiter=cfg.cg_max_iters)
+                    if self.dtype == jnp.float32 and cfg.cg_rtol < 5e-7:
+                        # an f32 CG recurrence saturates at a TRUE relative
+                        # residual of ~6e-7; tolerances below that (the
+                        # reference's 1e-8, src/step-50.cc:942) run
+                        # mixed-precision iterative refinement: float64
+                        # defect on host, f32 GMG-CG correction on device
+                        from coulomb_gmg_tpu.solver.tpu_gmg import \
+                            solve_refined
+                        x, k, res0, resf = solve_refined(
+                            gmg_tpu, self.plan.pattern.indptr,
+                            self.plan.pattern.indices,
+                            np.asarray(self.A.data), rhs_np, x0_np,
+                            rtol=cfg.cg_rtol, maxiter=cfg.cg_max_iters)
+                    else:
+                        x, k, res0, resf = gmg_tpu.solve(
+                            rhs_np, x0_np, rtol=cfg.cg_rtol,
+                            maxiter=cfg.cg_max_iters)
                     # elastic placement: if the tunneled accelerator is
                     # stalling (shared-pool latency), demote subsequent
                     # cycles to the host backend — same solver, same math.

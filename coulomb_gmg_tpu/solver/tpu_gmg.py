@@ -673,26 +673,81 @@ class TpuGMG:
         k = 0
         converged = False
         res = None
+        x_init = xj
+        vals = None
         while k < maxiter and not converged:
             n_blk = min(block, maxiter - k)
-            for _ in range(n_blk):
+            blk_start = k
+            blk_x = []                   # iterate per in-block update, so a
+            for _ in range(n_blk):       # converged k returns ITS solution
                 xj, r, res2 = _cg_update(self.sys_cols, self.sys_vals,
                                          xj, r, p, rho)
                 res2_hist.append(res2)
+                blk_x.append(xj)
                 k += 1
                 z = self.vcycle(r)
                 p, rho = _cg_direction(r, z, p, rho)
             vals = np.asarray(jnp.stack(res2_hist))    # ONE device pull
-            for i, v in enumerate(vals):
-                if v <= tol2:
-                    k = i
-                    res = float(np.sqrt(v))
-                    converged = True
+            if blk_start == 0 and vals[0] <= tol2:     # x0 already converged
+                k, xj, res = 0, x_init, float(np.sqrt(vals[0]))
+                converged = True
+            for j in range(blk_start + 1, blk_start + n_blk + 1):
+                if converged:
                     break
+                if vals[j] <= tol2:
+                    k = j
+                    xj = blk_x[j - blk_start - 1]
+                    res = float(np.sqrt(vals[j]))
+                    converged = True
             if not converged:
                 res = float(np.sqrt(vals[-1]))
-        res0 = float(np.sqrt(vals[0])) if len(res2_hist) > 1 else \
+        res0 = float(np.sqrt(vals[0])) if vals is not None else \
             float(np.sqrt(float(np.asarray(res2_hist[0]))))
         if self._debug:
             print(f"[tpu_gmg] {k} iters {time.time() - t_s:.2f}s", flush=True)
         return np.asarray(xj)[: self.n], k, res0, res
+
+
+def solve_refined(gmg, indptr, indices, data, rhs, x0=None,
+                  rtol: float = 1e-8, maxiter: int = 100,
+                  inner_rtol: float = 1e-6, max_passes: int = 4):
+    """Mixed-precision iterative refinement around ``TpuGMG.solve``.
+
+    A float32 CG recurrence saturates at a TRUE relative residual of
+    ~6e-7 (measured vs a float64 recomputation; the recurrence residual
+    keeps shrinking but the iterate cannot improve past f32 resolution).
+    The reference solves to ``1e-8 * ||b||`` in double precision
+    (src/step-50.cc:942); to match that on an f32 accelerator we run the
+    classic IR loop: float64 defect on host, f32 GMG-CG correction on
+    device.  Each pass multiplies the true residual by the f32 floor, so
+    two passes reach ~4e-13 relative — comfortably below 1e-8.
+
+    Returns ``(x64, total_inner_iterations, res0, final_true_residual)``
+    with the same contract as ``TpuGMG.solve`` except the final residual
+    is the float64 TRUE residual ``||b - A x||`` (not the recurrence
+    value).
+    """
+    import scipy.sparse as sp
+    A64 = sp.csr_matrix((np.asarray(data, np.float64),
+                         np.asarray(indices), np.asarray(indptr)))
+    b64 = np.asarray(rhs, np.float64)
+    nb = float(np.linalg.norm(b64))
+    tol = rtol * nb
+    x64 = (np.asarray(x0, np.float64) if x0 is not None
+           else np.zeros_like(b64))
+    total_k = 0
+    res0 = None
+    resf = float(np.linalg.norm(b64 - A64 @ x64)) if x0 is not None else nb
+    for p in range(max_passes + 1):
+        r64 = b64 - A64 @ x64
+        rnorm = float(np.linalg.norm(r64))
+        if res0 is None:
+            res0 = rnorm
+        resf = rnorm
+        if rnorm <= tol or total_k >= maxiter or p == max_passes:
+            break
+        d, k, _, _ = gmg.solve(r64, None, rtol=inner_rtol,
+                               maxiter=maxiter - total_k)
+        x64 = x64 + np.asarray(d, np.float64)
+        total_k += int(k)
+    return x64, total_k, res0, resf

@@ -41,6 +41,15 @@ def main():
                     help="print the per-stage walltime table after each size")
     ap.add_argument("--verbose", action="store_true",
                     help="stream the reference-schema per-cycle log lines")
+    ap.add_argument("--production", action="store_true",
+                    help="use production_scaling_config — the configuration "
+                    "of the reference's PUBLISHED study (plain-Kelly "
+                    "marking, no FE-error postprocess, cg_rtol=1e-8); "
+                    "checks per-cycle cell counts against "
+                    "Plotting/ncells_per_atom.dat")
+    ap.add_argument("--dtype", default=None,
+                    help="override dtype (default: float32, or float64 "
+                    "with --production on host)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -51,21 +60,42 @@ def main():
     jax.jit(lambda x: (x @ x).sum())(
         jnp.ones((512, 512), jnp.float32)).block_until_ready()
 
-    from coulomb_gmg_tpu.config import golden_gaussian_config
+    from coulomb_gmg_tpu.config import (golden_gaussian_config,
+                                        production_scaling_config)
     from coulomb_gmg_tpu.driver import Simulation
     from coulomb_gmg_tpu.models.atoms import nacl_lattice
     from coulomb_gmg_tpu.utils.logging import Pcout
 
+    # Plotting/ncells_per_atom.dat:6-12 — the published per-cycle cells
+    ref_cells = {
+        8:     [85184, 85744, 87648, 91344, 99464],
+        216:   [140608, 141168, 145480, 153488, 172472],
+        1000:  [216000, 216560, 222552, 233584, 253296],
+        2744:  [314432, 314992, 323000, 337392, 362144],
+        8000:  [512000, 512560, 523592, 543024, 576428],
+        64000: [1728000, 1728560, 1749672, 1785904, 1849296],
+    }
+
     for n in [int(s) for s in args.sizes.split(",")]:
         atoms = nacl_lattice(n)
-        cfg = golden_gaussian_config(
-            n_adaptive_cycles=args.cycles,
-            domain_left=0.0, domain_right=float(n),
-            dtype="float32", solver_backend="tpu_cg", cg_rtol=1e-6,
-            boundary_conditions="Exact" if atoms.n < 2000
-            else "Inhomogeneous",
-            flag_output_time=False,
-        )
+        if args.production:
+            # like-for-like with the PUBLISHED study: plain-Kelly marking,
+            # no FE-error postprocess, reference tolerance 1e-8
+            cfg = production_scaling_config(
+                n, n_adaptive_cycles=args.cycles,
+                dtype=args.dtype or ("float32" if args.tpu else "float64"),
+                solver_backend="tpu_cg",
+            )
+        else:
+            cfg = golden_gaussian_config(
+                n_adaptive_cycles=args.cycles,
+                domain_left=0.0, domain_right=float(n),
+                dtype=args.dtype or "float32",
+                solver_backend="tpu_cg", cg_rtol=1e-6,
+                boundary_conditions="Exact" if atoms.n < 2000
+                else "Inhomogeneous",
+                flag_output_time=False,
+            )
         t0 = time.time()
         sim = Simulation(cfg, atoms=atoms,
                          pcout=Pcout(enabled=args.verbose))
@@ -74,7 +104,7 @@ def main():
         last = results[-1]
         e = last.get("energy", {})
         ref = REF_DEBUG.get(atoms.n)
-        print(json.dumps({
+        row = {
             "atoms": atoms.n,
             "wall_s": round(wall, 2),
             "cells_final": last["n_cells"],
@@ -83,7 +113,13 @@ def main():
             "energy_abs_err": e.get("abs_error"),
             "ref_debug_s": ref,
             "speedup_vs_ref": round(ref / wall, 2) if ref else None,
-        }), flush=True)
+        }
+        if args.production and atoms.n in ref_cells and args.cycles == 5:
+            cells = [r["n_cells"] for r in results]
+            row["cells_per_cycle"] = cells
+            row["cells_match_published"] = cells == ref_cells[atoms.n]
+            row["cg_per_cycle"] = [r["cg_iterations"] for r in results]
+        print(json.dumps(row), flush=True)
         if args.timers:
             sim.timer.summary(print)
 
