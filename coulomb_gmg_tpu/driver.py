@@ -106,6 +106,11 @@ class Simulation:
                                   jax.devices("cpu")[0])
             except Exception:
                 pass
+            # remote compiles through the tunnel cost tens of seconds; the
+            # persistent cache makes them once-per-machine instead of
+            # once-per-process (utils/platform.py:enable_compile_cache)
+            from coulomb_gmg_tpu.utils.platform import enable_compile_cache
+            enable_compile_cache()
         self.use_tpu_cg = (cfg.solver_backend == "tpu_cg" or
                            (cfg.solver_backend == "auto" and
                             self.tpu_device is not None and
@@ -189,7 +194,14 @@ class Simulation:
         n_atoms = self.atoms.n if self.lammpsinput else 0
 
         def hot_device(work):
-            if self.use_tpu_cg and work >= HOT_WORK:
+            # placement is independent of the SOLVER backend: any run with
+            # the chip visible offloads big distance-matrix stages in f32
+            # (the hybrid that wins at production scale).  x64 runs stay
+            # host-resident — see postprocess_energy_norm for the Mosaic
+            # int64-index limitation.
+            import jax as _jx
+            if (self.tpu_device is not None and work >= HOT_WORK
+                    and not _jx.config.jax_enable_x64):
                 return self.tpu_device
             return None
 
@@ -243,7 +255,9 @@ class Simulation:
                         self.atoms.charges, cfg.r_c,
                         mask=self.mask if cfg.flag_rhs_assembly else None,
                         lists=self.lists if cfg.flag_rhs_assembly else None,
-                        dtype=np.float32 if self.use_tpu_cg else None,
+                        dtype=np.float32 if (self.use_tpu_cg or
+                                             hot_device(work) is not None)
+                        else None,
                         device=hot_device(work))
                 # elastic placement (see solve): a stalling shared-pool
                 # accelerator demotes subsequent cycles to the host.
@@ -619,8 +633,17 @@ class Simulation:
         with self.timer.scope("Postprocess FE error"):
             work = self.forest.n_cells * len(self.tab_lap.points) * \
                 self.atoms.n
-            dev = self.tpu_device if (self.use_tpu_cg and work >= 2e9) \
-                else None
+            # placement independent of the solver backend (see hot_device):
+            # any run with the chip visible offloads this distance-matrix
+            # stage in f32.  Under jax_enable_x64 the offload is disabled:
+            # x64 tracing turns Pallas grid index types int64, which this
+            # jaxlib's Mosaic cannot legalize (observed: "failed to
+            # legalize operation 'func.return'") — x64 parity runs are
+            # host-resident by design anyway.
+            import jax as _jx
+            dev = (self.tpu_device
+                   if work >= 2e9 and not _jx.config.jax_enable_x64
+                   else None)
             # float32 pair sums on float32 runs (the exact-gradient distance
             # matrix is memory-bandwidth bound); float64 parity runs keep
             # full precision

@@ -61,6 +61,13 @@ class SpmdContext:
         self.D = int(n_devices)
         self.mesh = Mesh(np.array(devs[: self.D]), ("shard",))
         self.axis = "shard"
+        # jitted shard_map programs memoized by (stage, static shapes,
+        # dtype, ...) so repeated block shapes across cycles hit the jit
+        # cache instead of recompiling on a remote-compile TPU pool.
+        # Device-varying data is always passed as ARGUMENTS (replicated
+        # P() specs for atoms/tables) — never closed over, which would
+        # constant-fold concrete arrays into the executable.
+        self._progs = {}
 
     # ------------------------------------------------------ cell partition
 
@@ -114,37 +121,39 @@ class SpmdContext:
         sep = x1 is not None
         rc = float(r_c)
 
+        grid = jnp.asarray(x1.astype(dt)) if sep else jnp.asarray(pref)
         if lists is not None:
-            li = self._blocks(lists, pad_value=-1)
+            variant = "lists"
             kern = _density_lists_sep_jit if sep else _density_lists_jit
-            grid = jnp.asarray(x1.astype(dt)) if sep else jnp.asarray(pref)
-
-            def local(lo, hh, ll):
-                return kern(lo[0], hh[0], grid, pos, q, rc, ll[0])[None]
-
-            args = (jnp.asarray(lower), jnp.asarray(h), jnp.asarray(li))
+            extra = (jnp.asarray(self._blocks(lists, pad_value=-1)),)
         elif mask is not None:
-            mk = self._blocks(mask, pad_value=False)
+            variant = "mask"
             kern = _density_dense_sep_jit if sep else _density_dense_jit
-            grid = jnp.asarray(x1.astype(dt)) if sep else jnp.asarray(pref)
-
-            def local(lo, hh, mm):
-                return kern(lo[0], hh[0], grid, pos, q, rc, mm[0])[None]
-
-            args = (jnp.asarray(lower), jnp.asarray(h), jnp.asarray(mk))
+            extra = (jnp.asarray(self._blocks(mask, pad_value=False)),)
         else:
+            variant = "all"
             kern = _density_all_sep_jit if sep else _density_all_jit
-            grid = jnp.asarray(x1.astype(dt)) if sep else jnp.asarray(pref)
+            extra = ()
 
-            def local(lo, hh):
-                return kern(lo[0], hh[0], grid, pos, q, rc)[None]
-
-            args = (jnp.asarray(lower), jnp.asarray(h))
-
-        sp = P(self.axis)
-        fn = jax.jit(shard_map(local, mesh=self.mesh,
-                               in_specs=(sp,) * len(args), out_specs=sp,
-                               check_rep=False))
+        args = (jnp.asarray(lower), jnp.asarray(h)) + extra + \
+            (jnp.asarray(grid), pos, q)
+        key = ("density", variant, sep, rc,
+               tuple(a.shape for a in args), str(args[0].dtype))
+        fn = self._progs.get(key)
+        if fn is None:
+            if variant == "all":
+                def local(lo, hh, gr, po, qq):
+                    return kern(lo[0], hh[0], gr, po, qq, rc)[None]
+            else:
+                def local(lo, hh, ex, gr, po, qq):
+                    return kern(lo[0], hh[0], gr, po, qq, rc, ex[0])[None]
+            sp = P(self.axis)
+            n_sharded = 2 + len(extra)
+            fn = jax.jit(shard_map(
+                local, mesh=self.mesh,
+                in_specs=(sp,) * n_sharded + (P(), P(), P()),
+                out_specs=sp, check_rep=False))
+            self._progs[key] = fn
         out = np.asarray(fn(*args))
         return out.reshape(-1, out.shape[-1])[:n]
 
@@ -174,17 +183,24 @@ class SpmdContext:
         rc = float(r_c)
         axis = self.axis
 
-        def local(ucb, hb, lob, vb):
-            e = _enorm_chunk(ucb[0], dphi, hb[0], lob[0], pref, pos, q,
-                             rc, w, vb[0], dim=dim)
-            return jax.lax.psum(e, axis)
+        args = (jnp.asarray(uc), jnp.asarray(h), jnp.asarray(lo),
+                jnp.asarray(val), dphi, pref, w, pos, q)
+        key = ("enorm", dim, rc, tuple(a.shape for a in args),
+               str(args[0].dtype))
+        fn = self._progs.get(key)
+        if fn is None:
+            def local(ucb, hb, lob, vb, dp, pr, wt, po, qq):
+                e = _enorm_chunk(ucb[0], dp, hb[0], lob[0], pr, po, qq,
+                                 rc, wt, vb[0], dim=dim)
+                return jax.lax.psum(e, axis)
 
-        sp = P(self.axis)
-        fn = jax.jit(shard_map(local, mesh=self.mesh,
-                               in_specs=(sp, sp, sp, sp), out_specs=P(),
-                               check_rep=False))
-        err = fn(jnp.asarray(uc), jnp.asarray(h), jnp.asarray(lo),
-                 jnp.asarray(val))
+            sp = P(self.axis)
+            fn = jax.jit(shard_map(
+                local, mesh=self.mesh,
+                in_specs=(sp, sp, sp, sp) + (P(),) * 5, out_specs=P(),
+                check_rep=False))
+            self._progs[key] = fn
+        err = fn(*args)
         return float(np.sqrt(np.asarray(err)))
 
     # --------------------------------------------------- sharded assembly
@@ -268,42 +284,51 @@ class SpmdContext:
         phi = jnp.asarray(np.asarray(tab_rhs.phi, np_dtype))
         dim = tab_lap.dim
 
-        def local(h, coeff_q, rho_q, cl_idx, cl_pos, cl_rdof, md_cell, md_i,
-                  md_j, md_w, md_pos, d_cell, d_i, d_pos, dd_idx, gd,
-                  rd_cell, rd_i, rd_w, rd_dof):
-            (h, coeff_q, rho_q, cl_idx, cl_pos, cl_rdof, md_cell, md_i, md_j,
-             md_w, md_pos, d_cell, d_i, d_pos, dd_idx, gd, rd_cell, rd_i,
-             rd_w, rd_dof) = (x[0] for x in (
-                 h, coeff_q, rho_q, cl_idx, cl_pos, cl_rdof, md_cell, md_i,
+        key = ("assemble", has_coeff, dim, nnz, n, nb, B,
+               cl_pos_b.shape, md_pos_b.shape, d_pos_b.shape,
+               dd_idx_b.shape, rd_dof_b.shape,
+               w_lap.shape, w_rhs.shape, str(np.dtype(np_dtype)))
+        fn = self._progs.get(key)
+        if fn is None:
+            def local(h, coeff_q, rho_q, cl_idx, cl_pos, cl_rdof, md_cell,
+                      md_i, md_j, md_w, md_pos, d_cell, d_i, d_pos, dd_idx,
+                      gd, rd_cell, rd_i, rd_w, rd_dof, wl, Gq, wr, ph):
+                (h, coeff_q, rho_q, cl_idx, cl_pos, cl_rdof, md_cell, md_i,
                  md_j, md_w, md_pos, d_cell, d_i, d_pos, dd_idx, gd, rd_cell,
-                 rd_i, rd_w, rd_dof))
-            # element tensors for this device's cells (fem/integrals.py)
-            scale = h ** (dim - 2)
-            if has_coeff:
-                cw = coeff_q * w_lap[None, :]
-                K = scale[:, None, None] * jnp.einsum("cq,qij->cij", cw, G)
-            else:
-                k_ref = jnp.einsum("q,qij->ij", w_lap, G)
-                K = scale[:, None, None] * k_ref[None, :, :]
-            F = (h ** dim)[:, None] * ((rho_q * w_rhs[None, :]) @ phi)
+                 rd_i, rd_w, rd_dof) = (x[0] for x in (
+                     h, coeff_q, rho_q, cl_idx, cl_pos, cl_rdof, md_cell,
+                     md_i, md_j, md_w, md_pos, d_cell, d_i, d_pos, dd_idx,
+                     gd, rd_cell, rd_i, rd_w, rd_dof))
+                # element tensors for this device's cells (fem/integrals.py)
+                scale = h ** (dim - 2)
+                if has_coeff:
+                    cw = coeff_q * wl[None, :]
+                    K = scale[:, None, None] * jnp.einsum("cq,qij->cij",
+                                                          cw, Gq)
+                else:
+                    k_ref = jnp.einsum("q,qij->ij", wl, Gq)
+                    K = scale[:, None, None] * k_ref[None, :, :]
+                F = (h ** dim)[:, None] * ((rho_q * wr[None, :]) @ ph)
 
-            data = jnp.zeros(nnz + 1, K.dtype)
-            data = data.at[cl_pos].add(K[cl_idx].reshape(cl_idx.shape[0],
-                                                         nb * nb))
-            data = data.at[md_pos].add(K[md_cell, md_i, md_j] * md_w)
-            data = data.at[d_pos].add(K[d_cell, d_i, d_i])
-            rhs = jnp.zeros(n + 1, K.dtype)
-            rhs = rhs.at[cl_rdof].add(F[cl_idx])
-            lift = jnp.einsum("cij,cj->ci", K[dd_idx], gd)
-            f_eff = F[dd_idx] - lift
-            rhs = rhs.at[rd_dof].add(f_eff[rd_cell, rd_i] * rd_w)
-            # compress: add-reduce partial contributions across devices
-            return jax.lax.psum(data[:nnz], axis), jax.lax.psum(rhs[:n], axis)
+                data = jnp.zeros(nnz + 1, K.dtype)
+                data = data.at[cl_pos].add(
+                    K[cl_idx].reshape(cl_idx.shape[0], nb * nb))
+                data = data.at[md_pos].add(K[md_cell, md_i, md_j] * md_w)
+                data = data.at[d_pos].add(K[d_cell, d_i, d_i])
+                rhs = jnp.zeros(n + 1, K.dtype)
+                rhs = rhs.at[cl_rdof].add(F[cl_idx])
+                lift = jnp.einsum("cij,cj->ci", K[dd_idx], gd)
+                f_eff = F[dd_idx] - lift
+                rhs = rhs.at[rd_dof].add(f_eff[rd_cell, rd_i] * rd_w)
+                # compress: add-reduce partial contributions across devices
+                return (jax.lax.psum(data[:nnz], axis),
+                        jax.lax.psum(rhs[:n], axis))
 
-        sp = P(self.axis)
-        fn = jax.jit(shard_map(
-            local, mesh=self.mesh, in_specs=(sp,) * 20,
-            out_specs=(P(), P()), check_rep=False))
+            sp = P(self.axis)
+            fn = jax.jit(shard_map(
+                local, mesh=self.mesh, in_specs=(sp,) * 20 + (P(),) * 4,
+                out_specs=(P(), P()), check_rep=False))
+            self._progs[key] = fn
 
         def run(h, coeff_q, rho_q):
             h_b = self._blocks(np.asarray(h, np_dtype), pad_value=1.0)
@@ -319,7 +344,8 @@ class SpmdContext:
                 *map(jnp.asarray, (
                     cl_idx_b, cl_pos_b, cl_rdof_b, md_cell_b, md_i_b, md_j_b,
                     md_w_b, md_pos_b, d_cell_b, d_i_b, d_pos_b, dd_idx_b,
-                    gd_b, rd_cell_b, rd_i_b, rd_w_b, rd_dof_b)))
+                    gd_b, rd_cell_b, rd_i_b, rd_w_b, rd_dof_b)),
+                w_lap, G, w_rhs, phi)
             return np.asarray(data), np.asarray(rhs)
 
         return run
@@ -347,12 +373,7 @@ def electrostatic_energy_spmd(spmd: SpmdContext, forest, u, positions,
     # the reference's sanity cross-check after the gather
     # (src/step-50.cc:1397-1398)
     assert n_eval == len(charges), (n_eval, len(charges))
-    e = electrostatic_energy(forest, u, positions, charges, r_c,
-                             degree=degree)
-    fe_long = float(0.5 * np.sum(np.asarray(charges) * phi))
-    e["fe_long_range"] = fe_long
-    total = e["short_range"] + fe_long - e["self_energy"]
-    e["total_split"] = total
-    e["abs_error"] = abs(abs(e["analytic"]) - abs(total))
-    e["rel_error"] = abs((abs(e["analytic"]) - abs(total)) / e["analytic"])
-    return e
+    # phi was evaluated exactly once per atom, by its owning shard —
+    # hand it to the energy split rather than re-evaluating globally
+    return electrostatic_energy(forest, u, positions, charges, r_c,
+                                degree=degree, phi_at_atoms=phi)

@@ -67,14 +67,16 @@ def point_values(forest: Forest, u: np.ndarray, points: np.ndarray,
 
 def electrostatic_energy(forest: Forest, u: np.ndarray, positions: np.ndarray,
                          charges: np.ndarray, r_c: float,
-                         degree: int = 1) -> Dict[str, float]:
+                         degree: int = 1,
+                         phi_at_atoms: np.ndarray = None) -> Dict[str, float]:
     d = positions[:, None, :] - positions[None, :, :]
     r = np.sqrt((d * d).sum(-1))
     iu = np.triu_indices(len(charges), 1)
     qq = np.outer(charges, charges)
     analytic = float((qq[iu] / r[iu]).sum())
     short = float((qq[iu] * erfc(r[iu] / r_c) / r[iu]).sum())
-    phi_at_atoms = point_values(forest, u, positions, degree=degree)
+    if phi_at_atoms is None:
+        phi_at_atoms = point_values(forest, u, positions, degree=degree)
     fe_long = float(0.5 * np.sum(charges * phi_at_atoms))
     self_e = float(np.sum(charges ** 2) / (np.sqrt(np.pi) * r_c))
     total_split = short + fe_long - self_e
@@ -160,6 +162,11 @@ def _enorm_device_loop(ucell, h, lower, valid, dphi, pref, w, pos, q,
                               jnp.zeros((), ucell.dtype))
 
 
+# per-(device, chunk) sticky padded chunk count — see the shape
+# stabilization note inside energy_norm_error
+_ENORM_STICKY: dict = {}
+
+
 def energy_norm_error(forest: Forest, tables: ElementTables, u,
                       positions, charges, r_c: float,
                       chunk: int = 2048, device=None, dtype=None) -> float:
@@ -214,10 +221,20 @@ def energy_norm_error(forest: Forest, tables: ElementTables, u,
         chunk = min(chunk, max(n, 1))
     n_chunks = (n + chunk - 1) // chunk
     if use_pallas and n_chunks > 16:
-        # bucket the chunk count so every adaptive cycle of a run hits the
-        # SAME compiled executable (remote compiles through the tunnel cost
-        # tens of seconds; cycle-to-cycle mesh growth is a few %)
-        n_chunks = ((n_chunks + 15) // 16) * 16
+        # shape-stabilize the chunk count so every adaptive cycle of a run
+        # hits the SAME compiled executable: the device loop costs ~46 s to
+        # compile through the remote-compile tunnel but only ~1 s/Mcell to
+        # RUN, so over-padding is nearly free and a recompile never is.
+        # First sizing for this (device, chunk) pre-pads 25% headroom
+        # (production meshes grow ~13% over 5 cycles); later cycles reuse
+        # it while they fit and re-pad with fresh headroom if exceeded.
+        key = (getattr(device, "id", None), chunk)
+        sticky = _ENORM_STICKY.get(key, 0)
+        if n_chunks <= sticky:
+            n_chunks = sticky
+        else:
+            n_chunks = ((int(n_chunks * 1.25) + 15) // 16) * 16
+            _ENORM_STICKY[key] = n_chunks
     n_pad = n_chunks * chunk
     h_p = np.ones(n_pad); h_p[:n] = h
     lo_p = np.zeros((n_pad, dim)); lo_p[:n] = lower

@@ -31,6 +31,25 @@ def use_tpu() -> None:
     jax.config.update("jax_enable_x64", False)
 
 
+def enable_compile_cache(path: str = None) -> None:
+    """Enable JAX's persistent compilation cache (verified to work with
+    the axon remote-compile TPU plugin: the FE-error device loop costs
+    ~46 s to compile per process, ~0 from cache).  Safe to call multiple
+    times; respects an explicit JAX_COMPILATION_CACHE_DIR."""
+    import jax
+    if path is None:
+        path = os.environ.get(
+            "CGMG_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "coulomb_gmg_jax"))
+    try:
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass     # older jaxlib without the knobs: compile-cache is advisory
+
+
 def default_dtype():
     import jax.numpy as jnp
     import jax
