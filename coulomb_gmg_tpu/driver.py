@@ -524,7 +524,15 @@ class Simulation:
             else:
                 precond = make_jacobi(self.A, cfg.jacobi_damping)
                 host = False
-            matvec = jax.jit(self.A.matvec)
+            # pass the sparse structure as ARGUMENTS: jitting the bound
+            # method closes over 44.8M-entry index arrays as constants at
+            # 64k atoms, and XLA constant-folds them for seconds per cycle
+            from coulomb_gmg_tpu.ops.spmv import csr_matvec
+            _mv = jax.jit(csr_matvec, static_argnums=(4,))
+            rowids_j = jnp.asarray(self.A.rowids)
+            indices_j = jnp.asarray(self.A.indices)
+            matvec = lambda x: _mv(rowids_j, indices_j, self.A.data, x,
+                                   self.A.n_rows)
             res = cg(matvec, jnp.asarray(rhs, dtype=self.dtype),
                      x0=x0, precond=precond, tol=tol,
                      maxiter=cfg.cg_max_iters, host=host)

@@ -56,6 +56,9 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+    if (args.dtype or ("float64" if args.production and not args.tpu
+                       else "float32")) == "float64":
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     jax.jit(lambda x: (x @ x).sum())(
         jnp.ones((512, 512), jnp.float32)).block_until_ready()

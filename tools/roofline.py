@@ -1,0 +1,157 @@
+#!/usr/bin/env python3
+"""Auditable roofline/MFU report for the hot kernels (PERF.md source).
+
+For each kernel: achieved pair-evals/s measured (a) standalone hot and
+(b) in-pipeline (the production call path), the FLOP count per pair, and
+the implied FLOP/s vs the chip's MXU peak — so every "fast" claim in
+PERF.md is checkable against one command's output
+(SURVEY.md §5.1 north star).
+
+FLOPs per pair for the gradient kernel (ops/pallas_gradient.py), with the
+MXU contraction depth K=8 (coords are shipped as (8, N) tiles):
+
+  distance cross term   (A,8)@(8,P)   2*8 = 16 MXU flops/pair
+  weighted reduction    (4,A)@(A,P)   2*4 =  8 MXU flops/pair
+  VPU radial chain      rsqrt/exp/erf-poly/fma      ~25 flops/pair
+
+precision=HIGHEST runs MXU passes 3x (bf16x3 emulation of f32), so the
+MXU-side cost is 72 flops/pair.  v5e peak: 197 TFLOP/s bf16; the 3-pass
+f32 matmul peak is therefore ~65 TFLOP/s of bf16-equivalent work.
+
+Usage: python tools/roofline.py [--atoms 64000] [--chunks 224]
+Prints one JSON line per measurement; run on the real chip.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MXU_FLOPS_PER_PAIR = (16 + 8) * 3          # HIGHEST = 3-pass bf16
+VPU_FLOPS_PER_PAIR = 25
+V5E_PEAK_BF16 = 197e12
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--atoms", type=int, default=64000)
+    ap.add_argument("--chunks", type=int, default=224)
+    ap.add_argument("--chunk", type=int, default=8192)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    if dev.platform == "cpu":
+        print(json.dumps({"error": "no accelerator visible"}))
+        return 1
+    from coulomb_gmg_tpu.utils.platform import enable_compile_cache
+    enable_compile_cache()
+
+    from coulomb_gmg_tpu.ops.pallas_gradient import _grad_call
+    from coulomb_gmg_tpu.postprocess.energy import _enorm_device_loop
+    from coulomb_gmg_tpu.ops.q1 import element_tables
+
+    rng = np.random.default_rng(0)
+    A = args.atoms
+    Ap = ((A + 511) // 512) * 512
+    chunk = args.chunk
+    n_q = 8
+    P = chunk * n_q
+    r_c = 0.5
+
+    at = np.zeros((8, Ap), np.float32)
+    at[:3, :A] = rng.uniform(-10.0, 10.0, (A, 3)).T
+    qt = np.zeros((1, Ap), np.float32)
+    qt[0, :A] = rng.choice([-1.0, 1.0], A)
+    pt = np.zeros((8, P), np.float32)
+    pt[:3] = rng.uniform(-10.0, 10.0, (P, 3)).T
+    atd, qtd, ptd = (jax.device_put(x, dev) for x in (at, qt, pt))
+
+    def report(name, pairs, secs, extra=None):
+        gps = pairs / secs / 1e9
+        row = {
+            "kernel": name,
+            "gpairs_per_s": round(gps, 1),
+            "mxu_tflops": round(gps * MXU_FLOPS_PER_PAIR / 1e3, 2),
+            "vpu_tflops": round(gps * VPU_FLOPS_PER_PAIR / 1e3, 2),
+            "mxu_peak_frac": round(
+                gps * 1e9 * MXU_FLOPS_PER_PAIR / V5E_PEAK_BF16, 3),
+        }
+        if extra:
+            row.update(extra)
+        print(json.dumps(row), flush=True)
+
+    # ---- 1. standalone gradient kernel, chained (dependency-carrying:
+    # the previous output feeds the next input through a tiny but
+    # non-foldable perturbation), one final pull
+    @jax.jit
+    def chained(pt0, at0, qt0, n):
+        def body(i, p):
+            g = _grad_call(p, at0, qt0, r_c, 512, 512, False)
+            pad = jnp.concatenate([g, jnp.zeros((5, g.shape[1]), g.dtype)],
+                                  axis=0)
+            return p + 1e-30 * pad       # nonzero: XLA folds 0.0*x to 0
+        return jax.lax.fori_loop(0, n, body, pt0)
+
+    iters = 8
+    out = chained(ptd, atd, qtd, iters)   # compile + warm
+    out.block_until_ready()
+    t0 = time.time()
+    out = chained(ptd, atd, qtd, iters)
+    out.block_until_ready()
+    dt = time.time() - t0
+    report("grad_call_standalone_hot", P * Ap * iters, dt,
+           {"shape": f"P={P} A={Ap} x{iters}"})
+
+    # ---- 2. the production device loop (in-pipeline path) at the
+    # requested mesh scale
+    tab = element_tables(3, 1, 2)
+    n_pad = args.chunks * chunk
+    ucd = jax.device_put(
+        (rng.standard_normal((n_pad, 8)) * 0.01).astype(np.float32), dev)
+    hd = jax.device_put(np.full(n_pad, 0.0625, np.float32), dev)
+    lod = jax.device_put(
+        rng.uniform(-10.0, 10.0, (n_pad, 3)).astype(np.float32), dev)
+    vad = jax.device_put(np.ones(n_pad, np.float32), dev)
+    dphi = jax.device_put(np.asarray(tab.dphi, np.float32), dev)
+    pref = jax.device_put(np.asarray(tab.points, np.float32), dev)
+    w = jax.device_put(np.asarray(tab.weights, np.float32), dev)
+
+    e = _enorm_device_loop(ucd, hd, lod, vad, dphi, pref, w, atd, qtd,
+                           r_c, chunk, args.chunks, 3, use_pallas=True)
+    float(e)                              # compile + warm
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        e = _enorm_device_loop(ucd, hd, lod, vad, dphi, pref, w, atd, qtd,
+                               r_c, chunk, args.chunks, 3, use_pallas=True)
+        float(e)
+        times.append(time.time() - t0)
+    report("enorm_loop_production_hot", n_pad * n_q * Ap, min(times),
+           {"n_chunks": args.chunks, "includes": "einsum+pts+reduction"})
+
+    # ---- 3. density Pallas kernel (ops/pallas_density.py), same shapes
+    try:
+        from coulomb_gmg_tpu.ops.pallas_density import _density_call
+        g = _density_call(ptd, atd, qtd, r_c, 512, 512, False)
+        g.block_until_ready()
+        t0 = time.time()
+        n_rep = 4
+        for _ in range(n_rep):
+            g = _density_call(ptd, atd, qtd, r_c, 512, 512, False)
+        g.block_until_ready()
+        report("density_standalone_hot", P * Ap * n_rep, time.time() - t0,
+               {"note": "sequential dispatches (no chain)"})
+    except ImportError:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
