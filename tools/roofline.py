@@ -33,6 +33,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MXU_FLOPS_PER_PAIR = (16 + 8) * 3          # HIGHEST = 3-pass bf16
 VPU_FLOPS_PER_PAIR = 25
 V5E_PEAK_BF16 = 197e12
+# v5e VPU: 2048 f32 lanes x 2 (FMA) x ~0.94 GHz ~= 3.9 Tflop/s.  The
+# gradient/density kernels are VPU-BOUND: their MXU contractions have
+# contraction depth K=8 (coords shipped as (8, N) tiles), filling ~6% of
+# the 128-deep systolic array, while the per-pair radial chain
+# (rsqrt + exp + erf polynomial + FMAs) saturates the vector unit —
+# vpu_peak_frac is the honest utilization number for these kernels.
+V5E_PEAK_VPU_F32 = 3.9e12
 
 
 def main():
@@ -82,6 +89,8 @@ def main():
             "vpu_tflops": round(gps * VPU_FLOPS_PER_PAIR / 1e3, 2),
             "mxu_peak_frac": round(
                 gps * 1e9 * MXU_FLOPS_PER_PAIR / V5E_PEAK_BF16, 3),
+            "vpu_peak_frac": round(
+                gps * 1e9 * VPU_FLOPS_PER_PAIR / V5E_PEAK_VPU_F32, 3),
         }
         if extra:
             row.update(extra)
@@ -99,12 +108,12 @@ def main():
             return p + 1e-30 * pad       # nonzero: XLA folds 0.0*x to 0
         return jax.lax.fori_loop(0, n, body, pt0)
 
+    # block_until_ready through the tunnel can return before the work is
+    # done (CLAUDE.md) — always force a SCALAR pull
     iters = 8
-    out = chained(ptd, atd, qtd, iters)   # compile + warm
-    out.block_until_ready()
+    float(chained(ptd, atd, qtd, iters).sum())   # compile + warm
     t0 = time.time()
-    out = chained(ptd, atd, qtd, iters)
-    out.block_until_ready()
+    float(chained(ptd, atd, qtd, iters).sum())
     dt = time.time() - t0
     report("grad_call_standalone_hot", P * Ap * iters, dt,
            {"shape": f"P={P} A={Ap} x{iters}"})
@@ -139,13 +148,14 @@ def main():
     # ---- 3. density Pallas kernel (ops/pallas_density.py), same shapes
     try:
         from coulomb_gmg_tpu.ops.pallas_density import _density_call
-        g = _density_call(ptd, atd, qtd, r_c, 512, 512, False)
-        g.block_until_ready()
+        float(_density_call(ptd, atd, qtd, r_c, 512, 512, False).sum())
         t0 = time.time()
         n_rep = 4
+        acc = None
         for _ in range(n_rep):
             g = _density_call(ptd, atd, qtd, r_c, 512, 512, False)
-        g.block_until_ready()
+            acc = g if acc is None else acc + g
+        float(acc.sum())                       # one scalar pull at the end
         report("density_standalone_hot", P * Ap * n_rep, time.time() - t0,
                {"note": "sequential dispatches (no chain)"})
     except ImportError:
