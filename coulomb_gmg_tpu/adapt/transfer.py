@@ -100,7 +100,10 @@ def transfer_solution(old: Forest, new: Forest, u_old: np.ndarray,
 
 def transfer_cell_mask(old: Forest, new: Forest,
                        mask_old: np.ndarray) -> np.ndarray:
-    """Per-cell atom mask migration: children inherit the parent's set
-    (unpack semantics of src/step-50.cc:441-456)."""
+    """Per-cell atom mask/list migration: children inherit the parent's
+    set (unpack semantics of src/step-50.cc:441-456).  The row gather is
+    multi-GB at 64k atoms (1.8M cells x K~300 int32 list entries) — it
+    goes through the threaded native engine."""
+    from coulomb_gmg_tpu.utils import native
     omap = old_cell_of_new(old, new)
-    return mask_old[omap]
+    return native.gather_rows(np.ascontiguousarray(mask_old), omap)

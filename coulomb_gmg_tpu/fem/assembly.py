@@ -237,40 +237,52 @@ def assemble_np(plan: AssemblyPlan, k_cells, f_cells=None, dtype=np.float64):
     """Numpy twin of :func:`assemble` for host orchestration.
 
     Per-cycle topology shapes are fresh every adaptive cycle, so the eager
-    XLA path pays a compile per primitive per cycle; plain numpy with
-    ``bincount`` scatter-adds is faster end-to-end on host and bit-stable.
+    XLA path pays a compile per primitive per cycle; host scatter-adds are
+    faster end-to-end.  The clean-cell gather and the bincounts route
+    through the threaded native engine (utils/native.py:scatter_add /
+    gather_blocks) — np.bincount alone is 118M single-threaded adds per
+    system matrix at 64k atoms.  The threaded sum reassociates float64
+    additions at thread-slice boundaries (last-bit differences vs the
+    sequential order); this is within the golden tolerances (norms pinned
+    at 1e-6 relative, topology asserted exactly by the trajectory tests,
+    which run against THIS path).
     """
+    from coulomb_gmg_tpu.utils import native
+
     nnz = plan.pattern.nnz
     n = plan.pattern.n_rows
     k_cells = np.asarray(k_cells, dtype=dtype)
-    data = np.zeros(nnz, np.float64)
-    vals_clean = k_cells[plan.clean_idx].reshape(-1)
+    k64 = k_cells if k_cells.dtype == np.float64 \
+        else k_cells.astype(np.float64)
+    vals_clean = native.gather_blocks(k64, plan.clean_idx).reshape(-1)
     if len(plan.md_cell):
-        vals_dirty = k_cells[plan.md_cell, plan.md_i, plan.md_j] * plan.md_w
+        vals_dirty = k64[plan.md_cell, plan.md_i, plan.md_j] * plan.md_w
         vals = np.concatenate([vals_clean, vals_dirty])
     else:
         vals = vals_clean
+    data = np.zeros(nnz, np.float64)
     if len(vals):
-        data += np.bincount(plan.m_pos, weights=vals, minlength=nnz)
+        native.scatter_add(plan.m_pos, vals, nnz, out=data)
     if len(plan.d_pos):
-        kdiag = k_cells[plan.d_cell, plan.d_i, plan.d_i]
-        data += np.bincount(plan.d_pos, weights=kdiag, minlength=nnz)
+        kdiag = k64[plan.d_cell, plan.d_i, plan.d_i]
+        native.scatter_add(plan.d_pos, kdiag, nnz, out=data)
     data = data.astype(dtype, copy=False)
 
     rhs = None
     if f_cells is not None:
-        f_cells = np.asarray(f_cells, dtype=dtype)
+        f_cells = np.asarray(f_cells, np.float64)
         rhs = np.zeros(n, np.float64)
         if len(plan.r_dof_clean):
-            rhs += np.bincount(plan.r_dof_clean,
-                               weights=f_cells[plan.clean_idx].reshape(-1),
-                               minlength=n)
+            native.scatter_add(
+                plan.r_dof_clean,
+                native.gather_blocks(f_cells, plan.clean_idx).reshape(-1),
+                n, out=rhs)
         if len(plan.rd_dof):
-            lift = np.einsum("cij,cj->ci", k_cells[plan.dirty_idx],
-                             plan.gd_local.astype(dtype, copy=False))
+            lift = np.einsum("cij,cj->ci", k64[plan.dirty_idx],
+                             plan.gd_local)
             f_eff = f_cells[plan.dirty_idx] - lift
             rvals = f_eff[plan.rd_cell, plan.rd_i] * plan.rd_w
-            rhs += np.bincount(plan.rd_dof, weights=rvals, minlength=n)
+            native.scatter_add(plan.rd_dof, rvals, n, out=rhs)
         rhs = rhs.astype(dtype, copy=False)
         # deal.II ConstraintMatrix convention (verified against the golden
         # rhs norms): constrained rows get a ZERO rhs — the regularization

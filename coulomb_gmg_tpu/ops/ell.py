@@ -79,10 +79,25 @@ class ELL:
                    cols=ecols, vals=evals)
 
     @staticmethod
-    def from_csr(indptr, indices, data, n_cols: int = None, **kw) -> "ELL":
+    def from_csr(indptr, indices, data, n_cols: int = None,
+                 pad_rows_to: int = None, pad_k_to: int = None) -> "ELL":
         n_rows = len(indptr) - 1
-        rowids = np.repeat(np.arange(n_rows), np.diff(indptr))
-        return ELL.from_coo(rowids, indices, data, n_rows, n_cols, **kw)
+        counts = np.diff(indptr)
+        K = int(counts.max()) if n_rows and counts.max() > 0 else 1
+        if pad_k_to is not None:
+            K = max(K, pad_k_to)
+        n_pad = n_rows if pad_rows_to is None else max(n_rows, pad_rows_to)
+        from coulomb_gmg_tpu.utils import native
+        if n_rows * K >= (1 << 20):
+            out = native.csr_to_ell(indptr, indices, np.asarray(data),
+                                    n_pad, K)
+            if out is not None:
+                ecols, evals = out
+                return ELL(n_rows=n_pad, n_cols=n_cols or n_rows, K=K,
+                           cols=ecols, vals=evals)
+        rowids = np.repeat(np.arange(n_rows), counts)
+        return ELL.from_coo(rowids, indices, data, n_rows, n_cols,
+                            pad_rows_to=pad_rows_to, pad_k_to=K)
 
     def diagonal(self) -> np.ndarray:
         rows = np.arange(self.n_rows)[:, None]

@@ -280,19 +280,15 @@ class _Level:
 
 
 def _to_ell(csr, n_pad: int, np_dtype, k_mult: int = 8):
-    """CSR -> padded device ELL (cols, vals, K bucketed to k_mult)."""
+    """CSR -> padded device ELL (cols, vals, K bucketed to k_mult).
+    K is pre-bucketed so the (threaded native) conversion writes the
+    final padded buffers directly — no post-pad realloc."""
+    counts = np.diff(csr.indptr)
+    K = _round_up(max(int(counts.max()) if len(counts) else 1, 1), k_mult)
     e = ELL.from_csr(csr.indptr, np.asarray(csr.indices),
                      np.asarray(csr.data, np_dtype), n_cols=csr.n_cols,
-                     pad_rows_to=n_pad)
-    K = _round_up(max(e.K, 1), k_mult)
-    if K != e.K:
-        cols = np.zeros((e.n_rows, K), np.int32)
-        vals = np.zeros((e.n_rows, K), np_dtype)
-        cols[:, : e.K] = e.cols
-        vals[:, : e.K] = e.vals
-    else:
-        cols, vals = e.cols, e.vals
-    return cols, vals
+                     pad_rows_to=n_pad, pad_k_to=K)
+    return e.cols, e.vals
 
 
 def _transpose_coo(rowids, cols, data, n_rows_T: int):

@@ -63,6 +63,20 @@ def _load():
                 f64p, i64p, i64p, i64p, f64p,
                 ctypes.c_double, ctypes.c_double, ctypes.c_int64,
                 i32p, i64p]
+            lib.cgmg_scatter_add.restype = None
+            lib.cgmg_scatter_add.argtypes = [
+                i64p, f64p, ctypes.c_int64, f64p, ctypes.c_int64]
+            lib.cgmg_gather_blocks.restype = None
+            lib.cgmg_gather_blocks.argtypes = [
+                f64p, i64p, ctypes.c_int64, ctypes.c_int64, f64p]
+            u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+            lib.cgmg_gather_rows_bytes.restype = None
+            lib.cgmg_gather_rows_bytes.argtypes = [
+                u8p, i64p, ctypes.c_int64, ctypes.c_int64, u8p]
+            lib.cgmg_csr_to_ell.restype = None
+            lib.cgmg_csr_to_ell.argtypes = [
+                i64p, i64p, u8p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, i32p, u8p]
             _LIB = lib
         except Exception:
             _LIB = None
@@ -153,6 +167,74 @@ def atom_lists(lower: np.ndarray, h: np.ndarray, sorted_pos: np.ndarray,
                         bshape, borigin, float(pitch), float(cutoff), K,
                         lists, counts)
     return lists, counts
+
+
+def scatter_add(pos: np.ndarray, weights: np.ndarray, n_out: int,
+                out: np.ndarray = None) -> np.ndarray:
+    """Threaded ``np.bincount(pos, weights, minlength=n_out)``.
+
+    Deterministic (fixed slice/reduction order) but NOT bit-identical to
+    the sequential bincount for bins whose entries span thread slices —
+    callers on the float64 golden-parity path decide whether last-bit
+    reassociation is acceptable (fem/assembly.py documents why it is)."""
+    pos = np.ascontiguousarray(pos, np.int64).reshape(-1)
+    weights = np.ascontiguousarray(weights, np.float64).reshape(-1)
+    lib = _load()
+    if out is None:
+        out = np.zeros(n_out, np.float64)
+    if lib is None or len(pos) < (1 << 18):
+        out += np.bincount(pos, weights=weights, minlength=n_out)
+        return out
+    lib.cgmg_scatter_add(pos, weights, len(pos), out, n_out)
+    return out
+
+
+def gather_blocks(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Threaded ``src[idx]`` for (n, ...) float64 row blocks."""
+    src = np.ascontiguousarray(src, np.float64)
+    idx = np.ascontiguousarray(idx, np.int64).reshape(-1)
+    lib = _load()
+    if lib is None or len(idx) * src[0].size < (1 << 20):
+        return src[idx]
+    out = np.empty((len(idx),) + src.shape[1:], np.float64)
+    lib.cgmg_gather_blocks(src, idx, len(idx), src[0].size if src.ndim > 1
+                           else 1, out)
+    return out
+
+
+def csr_to_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+               n_pad: int, K: int):
+    """(ecols (n_pad, K) int32, evals (n_pad, K) data.dtype), zero-padded.
+    None if the native engine is unavailable (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int64)
+    data = np.ascontiguousarray(data)
+    n_rows = len(indptr) - 1
+    ecols = np.zeros((n_pad, K), np.int32)
+    evals = np.zeros((n_pad, K), data.dtype)
+    lib.cgmg_csr_to_ell(indptr, indices, data.view(np.uint8).reshape(-1),
+                        data.dtype.itemsize, n_rows, K, ecols,
+                        evals.view(np.uint8).reshape(-1))
+    return ecols, evals
+
+
+def gather_rows(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Threaded ``src[idx]`` for (n, ...) rows of ANY dtype (raw-byte
+    memcpy rows) — per-cell atom lists are multi-GB int32 at 64k atoms."""
+    src = np.ascontiguousarray(src)
+    idx = np.ascontiguousarray(idx, np.int64).reshape(-1)
+    row_bytes = src.dtype.itemsize * (src[0].size if src.ndim > 1 else 1)
+    lib = _load()
+    if lib is None or len(idx) * row_bytes < (1 << 22):
+        return src[idx]
+    out = np.empty((len(idx),) + src.shape[1:], src.dtype)
+    lib.cgmg_gather_rows_bytes(
+        src.view(np.uint8).reshape(-1), idx, len(idx), row_bytes,
+        out.view(np.uint8).reshape(-1))
+    return out
 
 
 def searchsorted(sorted_keys: np.ndarray, queries: np.ndarray) -> np.ndarray:

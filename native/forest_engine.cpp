@@ -423,4 +423,73 @@ void cgmg_lookup(const int64_t* sorted, int64_t n, const int64_t* q,
   });
 }
 
+// Threaded bincount: out[pos[p]] += w[p] (out caller-zeroed, length n_out).
+// numpy's np.bincount is single-threaded and dominates assembly at the
+// 64k-atom scale (118M weights per system matrix); here each thread
+// accumulates a slice of the entries into a private partial array and the
+// partials tree-reduce — deterministic within each output bin because
+// every partial sums its entries in enumeration order and the reduction
+// order over threads is fixed.
+void cgmg_scatter_add(const int64_t* pos, const double* w, int64_t n,
+                      double* out, int64_t n_out) {
+  const unsigned T = n_threads();
+  if (n < (1 << 18) || T < 2) {
+    for (int64_t p = 0; p < n; ++p) out[pos[p]] += w[p];
+    return;
+  }
+  std::vector<std::vector<double>> partials(T);
+  parallel_for(n, [&](int64_t lo, int64_t hi, unsigned t) {
+    auto& acc = partials[t];
+    acc.assign(n_out, 0.0);
+    for (int64_t p = lo; p < hi; ++p) acc[pos[p]] += w[p];
+  });
+  parallel_for(n_out, [&](int64_t lo, int64_t hi, unsigned) {
+    for (unsigned t = 0; t < T; ++t) {
+      const double* acc = partials[t].data();
+      for (int64_t i = lo; i < hi; ++i) out[i] += acc[i];
+    }
+  });
+}
+
+// Threaded block gather: out[r*stride + s] = src[idx[r]*stride + s]
+// (numpy fancy indexing of (n_cells, nb, nb) element tensors is
+// single-threaded and copies ~118 MB per system assembly at 64k atoms).
+void cgmg_gather_blocks(const double* src, const int64_t* idx, int64_t n_idx,
+                        int64_t stride, double* out) {
+  parallel_for(n_idx, [&](int64_t lo, int64_t hi, unsigned) {
+    for (int64_t r = lo; r < hi; ++r)
+      std::memcpy(out + r * stride, src + idx[r] * stride,
+                  sizeof(double) * stride);
+  });
+}
+
+// CSR -> ELL pad (caller-zeroed (n_pad, K) outputs; value rows memcpy
+// dtype-agnostically, columns narrow int64 -> int32).  The numpy
+// equivalent (repeat + bincount + cumsum + two fancy scatters over 50M
+// nnz) is ~2.7 s single-threaded per level operator at 64k atoms.
+void cgmg_csr_to_ell(const int64_t* indptr, const int64_t* indices,
+                     const char* data, int64_t itemsize, int64_t n_rows,
+                     int64_t K, int32_t* ecols, char* evals) {
+  parallel_for(n_rows, [&](int64_t lo, int64_t hi, unsigned) {
+    for (int64_t r = lo; r < hi; ++r) {
+      const int64_t s = indptr[r], e = indptr[r + 1];
+      std::memcpy(evals + r * K * itemsize, data + s * itemsize,
+                  (e - s) * itemsize);
+      int32_t* crow = ecols + r * K;
+      for (int64_t p = s; p < e; ++p) crow[p - s] = (int32_t)indices[p];
+    }
+  });
+}
+
+// dtype-agnostic variant (rows as raw bytes) — per-cell atom LISTS are
+// int32 and 2.2 GB at the 64k-atom scale; their child-inherits-parent
+// migration (src/step-50.cc:441-456) is a row gather of that buffer.
+void cgmg_gather_rows_bytes(const char* src, const int64_t* idx,
+                            int64_t n_idx, int64_t row_bytes, char* out) {
+  parallel_for(n_idx, [&](int64_t lo, int64_t hi, unsigned) {
+    for (int64_t r = lo; r < hi; ++r)
+      std::memcpy(out + r * row_bytes, src + idx[r] * row_bytes, row_bytes);
+  });
+}
+
 }  // extern "C"

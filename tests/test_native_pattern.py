@@ -110,3 +110,76 @@ def test_assembled_matrix_matches_scipy():
                 B[gi, gi] += K[c, i, i]
     diff = abs(A - B.tocsr()).max()
     assert diff < 1e-12, diff
+
+
+def test_scatter_add_matches_bincount():
+    """Threaded native bincount vs numpy, above and below the size gate
+    (the threaded sum reassociates float64 adds at slice boundaries —
+    equality holds to 1e-12 relative, which the assembly docstring relies
+    on)."""
+    import numpy as np
+    from coulomb_gmg_tpu.utils import native
+
+    rng = np.random.default_rng(7)
+    for n in (1 << 10, (1 << 18) + 123):
+        pos = rng.integers(0, 5000, n)
+        w = rng.standard_normal(n)
+        ref = np.bincount(pos, weights=w, minlength=5000)
+        got = native.scatter_add(pos, w, 5000)
+        assert np.allclose(ref, got, rtol=1e-12, atol=1e-14)
+        # accumulate-into-existing semantics
+        base = rng.standard_normal(5000)
+        got2 = native.scatter_add(pos, w, 5000, out=base.copy())
+        assert np.allclose(base + ref, got2, rtol=1e-12, atol=1e-14)
+
+
+def test_gather_blocks_matches_fancy_indexing():
+    import numpy as np
+    from coulomb_gmg_tpu.utils import native
+
+    rng = np.random.default_rng(8)
+    src = rng.standard_normal((40000, 8, 8))      # above the 1<<20 gate
+    idx = rng.integers(0, 40000, 30000)
+    assert np.array_equal(native.gather_blocks(src, idx), src[idx])
+    small = rng.standard_normal((10, 3))          # below the gate
+    assert np.array_equal(native.gather_blocks(small, np.array([2, 9, 0])),
+                          small[[2, 9, 0]])
+
+
+def test_gather_rows_any_dtype():
+    import numpy as np
+    from coulomb_gmg_tpu.utils import native
+
+    rng = np.random.default_rng(9)
+    for dtype, shape in ((np.int32, (300000, 8)), (bool, (200000, 16)),
+                         (np.float32, (5, 3))):
+        src = rng.integers(0, 2, size=shape).astype(dtype) \
+            if dtype is bool else \
+            rng.integers(-100, 100, size=shape).astype(dtype)
+        idx = rng.integers(0, shape[0], shape[0] // 2)
+        assert np.array_equal(native.gather_rows(src, idx), src[idx])
+
+
+def test_csr_to_ell_matches_from_coo():
+    import numpy as np
+    import scipy.sparse as sp
+    from coulomb_gmg_tpu.ops.ell import ELL
+
+    rng = np.random.default_rng(11)
+    for n, dt in ((2000, np.float64), (300000, np.float32)):
+        counts = rng.integers(0, 24, n)
+        indptr = np.concatenate([[0], np.cumsum(counts)])
+        nnz = int(indptr[-1])
+        indices = rng.integers(0, n, nnz)
+        data = rng.standard_normal(nnz).astype(dt)
+        # padding slots must be distinguishable from real zeros
+        data[data == 0.0] = 1.0
+        A = sp.csr_matrix((data, indices, indptr), shape=(n, n))
+        A.sum_duplicates()
+        e = ELL.from_csr(A.indptr, A.indices, A.data, pad_rows_to=n + 7)
+        rowids = np.repeat(np.arange(n), np.diff(A.indptr))
+        ref = ELL.from_coo(rowids, A.indices, A.data, n,
+                           pad_rows_to=n + 7, pad_k_to=e.K)
+        assert e.K == ref.K and e.n_rows == ref.n_rows
+        assert np.array_equal(e.cols, ref.cols)
+        assert np.array_equal(e.vals, ref.vals)
