@@ -176,13 +176,20 @@ def scatter_add(pos: np.ndarray, weights: np.ndarray, n_out: int,
     Deterministic (fixed slice/reduction order) but NOT bit-identical to
     the sequential bincount for bins whose entries span thread slices —
     callers on the float64 golden-parity path decide whether last-bit
-    reassociation is acceptable (fem/assembly.py documents why it is)."""
+    reassociation is acceptable (fem/assembly.py documents why it is).
+
+    The native kernel accumulates per-thread PARTIAL arrays (T x n_out
+    float64) and reduces — a win only while those partials are cheap
+    relative to the entry stream.  Measured on the 2-core host: 1.8x at
+    n_out=500k / 2M entries, but SLOWER than numpy at n_out=48M (the
+    partial zero+reduce traffic dominates), so wide outputs fall back."""
     pos = np.ascontiguousarray(pos, np.int64).reshape(-1)
     weights = np.ascontiguousarray(weights, np.float64).reshape(-1)
     lib = _load()
     if out is None:
         out = np.zeros(n_out, np.float64)
-    if lib is None or len(pos) < (1 << 18):
+    if lib is None or len(pos) < (1 << 18) or n_out > (len(pos) >> 2) \
+            or n_out > (1 << 23):
         out += np.bincount(pos, weights=weights, minlength=n_out)
         return out
     lib.cgmg_scatter_add(pos, weights, len(pos), out, n_out)
