@@ -193,14 +193,16 @@ class Simulation:
         HOT_WORK = 2e9
         n_atoms = self.atoms.n if self.lammpsinput else 0
 
-        def hot_device(work):
+        def hot_device(work, floor=HOT_WORK):
             # placement is independent of the SOLVER backend: any run with
             # the chip visible offloads big distance-matrix stages in f32
             # (the hybrid that wins at production scale).  x64 runs stay
             # host-resident — see postprocess_energy_norm for the Mosaic
-            # int64-index limitation.
+            # int64-index limitation.  ``floor`` is the break-even work:
+            # 2e9 pair-evals for gather-bound paths, far lower for pure
+            # distance-matrix (MXU) shapes.
             import jax as _jx
-            if (self.tpu_device is not None and work >= HOT_WORK
+            if (self.tpu_device is not None and work >= floor
                     and not _jx.config.jax_enable_x64):
                 return self.tpu_device
             return None
@@ -240,6 +242,15 @@ class Simulation:
                 # unconditionally.
                 if self.lists is not None and cfg.flag_rhs_assembly:
                     work = 0.0
+                # brute-force (no locality) density is a pure distance-
+                # matrix problem: the Pallas MXU kernel wins from ~1e8
+                # pair-evals (the host separable path took ~100 s/cycle at
+                # 1.7e9 pairs that the chip does in ~2 s) — gather-bound
+                # list work keeps the 2e9 floor above
+                brute = not cfg.flag_rhs_assembly or (
+                    self.lists is None and self.mask is None)
+                dens_dev = hot_device(work, floor=1e8 if brute
+                                      else HOT_WORK)
                 if self.spmd is not None:
                     # device-sharded cell blocks, production kernel math
                     self.rho = self.spmd.density(
@@ -256,13 +267,13 @@ class Simulation:
                         mask=self.mask if cfg.flag_rhs_assembly else None,
                         lists=self.lists if cfg.flag_rhs_assembly else None,
                         dtype=np.float32 if (self.use_tpu_cg or
-                                             hot_device(work) is not None)
+                                             dens_dev is not None)
                         else None,
-                        device=hot_device(work))
+                        device=dens_dev)
                 # elastic placement (see solve): a stalling shared-pool
                 # accelerator demotes subsequent cycles to the host.
                 self.maybe_demote(_time.time() - _t0, cfg.demote_hot_stage_s,
-                                  hot_device(work) is not None)
+                                  dens_dev is not None)
             with self.timer.scope("Compute dipole moments"):
                 self.dipole = compute_dipole_moment(self.atoms.positions,
                                                     self.atoms.charges)

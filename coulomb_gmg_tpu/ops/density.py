@@ -217,7 +217,7 @@ def compute_density(forest: Forest, points_ref: np.ndarray, positions,
         for s in range(0, nb, blk):
             rho[s:s + blk] = np.asarray(density_pallas_cells(
                 lo_p[s:s + blk], h_p[s:s + blk], points_ref,
-                positions, charges, r_c), out_dtype)
+                positions, charges, r_c, device=device), out_dtype)
         return rho[:n_cells]
 
     pos = put(positions)

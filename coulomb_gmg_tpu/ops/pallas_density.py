@@ -94,7 +94,7 @@ def density_pallas(points, positions, charges, r_c: float,
 
 def density_pallas_cells(lower, h, points_ref, positions, charges,
                          r_c: float, p_tile: int = 512, a_tile: int = 512,
-                         interpret: bool = False):
+                         interpret: bool = False, device=None):
     """rho~ per cell x reference quadrature point, (n_cells, n_q), through
     the MXU distance-matrix kernel.
 
@@ -102,6 +102,12 @@ def density_pallas_cells(lower, h, points_ref, positions, charges,
     the physical points ON DEVICE inside the jit — n_q x less H2D traffic
     than uploading flattened points (the tunnel moves ~31 MB/s, so this is
     what makes the kernel a net win in production; see PERF.md).
+
+    ``device``: explicit accelerator placement.  The production driver
+    pins JAX's DEFAULT device to host CPU (topology work must not hit the
+    remote compiler), so uncommitted inputs would otherwise lower this
+    Pallas program onto the CPU backend and fail; committed arrays
+    override the default.
     """
     lower = np.asarray(lower, np.float32)
     h = np.asarray(h, np.float32)
@@ -127,10 +133,11 @@ def density_pallas_cells(lower, h, points_ref, positions, charges,
     qt[0, :A] = charges
 
     const = 4.0 * np.pi / (r_c ** 3 * np.pi ** 1.5)
+    put = (lambda a: jax.device_put(a, device)) if device is not None \
+        else jnp.asarray
     out = _density_cells_call(
-        jnp.asarray(lo_p), jnp.asarray(h_p), jnp.asarray(pref),
-        jnp.asarray(at), jnp.asarray(qt), float(r_c), p_tile, a_tile,
-        interpret)
+        put(lo_p), put(h_p), put(pref), put(at), put(qt),
+        float(r_c), p_tile, a_tile, interpret)
     return const * out.reshape(Cp, n_q)[:C]
 
 
