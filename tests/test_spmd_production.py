@@ -1,0 +1,53 @@
+"""SPMD production-config trajectory parity — the published scaling
+study's configuration (plain-Kelly marking, cg_rtol=1e-8,
+tests/test_production_trajectory.py) run through the full distributed
+pipeline on an 8-device mesh: sharded locality-LIST density, distributed
+assembly with psum compress, ShardedGMG solve.  The per-cycle cell counts
+must equal `Plotting/ncells_per_atom.dat:6` and the single-device run —
+the reference's own distributed-correctness idiom (its golden files are
+identical at mpirun=1/3/7).
+"""
+
+import os
+
+import pytest
+
+from coulomb_gmg_tpu.config import production_scaling_config
+from coulomb_gmg_tpu.driver import Simulation
+from coulomb_gmg_tpu.models.atoms import nacl_lattice
+from coulomb_gmg_tpu.utils.logging import Pcout
+
+N_CYCLES = int(os.environ.get("SPMD_PROD_CYCLES", "3"))
+
+REF_CELLS_8 = [85184, 85744, 87648, 91344, 99464]
+
+
+@pytest.fixture(scope="module")
+def run8dev():
+    cfg = production_scaling_config(1, dtype="float64", n_devices=8,
+                                    n_adaptive_cycles=N_CYCLES)
+    sim = Simulation(cfg, atoms=nacl_lattice(1), pcout=Pcout(enabled=False))
+    return sim.run()
+
+
+def test_cells_match_published(run8dev):
+    assert [r["n_cells"] for r in run8dev] == REF_CELLS_8[:len(run8dev)]
+
+
+def test_cg_counts_at_reference_tolerance(run8dev):
+    # SSOR_run.o876223:18-54 (1, 6, 8, 7, 8) +-1
+    for r, ref in zip(run8dev, [1, 6, 8, 7, 8]):
+        assert abs(r["cg_iterations"] - ref) <= 1, \
+            f"cycle {r['cycle']}: {r['cg_iterations']} vs {ref}"
+
+
+def test_matches_single_device(run8dev):
+    cfg = production_scaling_config(1, dtype="float64",
+                                    n_adaptive_cycles=N_CYCLES)
+    sim = Simulation(cfg, atoms=nacl_lattice(1), pcout=Pcout(enabled=False))
+    solo = sim.run()
+    for r8, r1 in zip(run8dev, solo):
+        assert r8["n_cells"] == r1["n_cells"]
+        assert r8["n_dofs"] == r1["n_dofs"]
+        assert r8["l2_rhs"] == pytest.approx(r1["l2_rhs"], rel=1e-10)
+        assert r8["l2_sol"] == pytest.approx(r1["l2_sol"], rel=1e-8)
