@@ -30,9 +30,8 @@ def old_cell_of_new(old: Forest, new: Forest) -> np.ndarray:
     lvl = old.level.astype(np.int64)
     for l in range(old.n_levels):
         sel = np.where(lvl == l)[0]
-        keys = old.level_cell_key(l, old.ijk[sel])
-        order = np.argsort(keys)
-        per_level[l] = (KeyIndex(keys), sel[order])
+        ki, order = KeyIndex.with_order(old.level_cell_key(l, old.ijk[sel]))
+        per_level[l] = (ki, sel[order])
 
     out = np.full(new.n_cells, -1, dtype=np.int64)
     nlvl = new.level.astype(np.int64)
@@ -57,7 +56,8 @@ def old_cell_of_new(old: Forest, new: Forest) -> np.ndarray:
 
 
 def transfer_solution(old: Forest, new: Forest, u_old: np.ndarray,
-                      degree: int = 1) -> np.ndarray:
+                      degree: int = 1,
+                      omap: np.ndarray = None) -> np.ndarray:
     """Q_degree interpolation of the old solution onto new-mesh dofs.
 
     Refine-only transfer means every new cell sits at one of exactly
@@ -65,9 +65,12 @@ def transfer_solution(old: Forest, new: Forest, u_old: np.ndarray,
     or one child octant.  The per-node basis weights therefore collapse to
     2^dim precomputed (nb x nb) embedding matrices — a grouped gather +
     small matmul instead of evaluating the basis at n_new x nb arbitrary
-    points (72 s -> ~2 s at 1.8M cells)."""
+    points (72 s -> ~2 s at 1.8M cells).  ``omap`` (old_cell_of_new) may be
+    passed in to share the covering map with transfer_cell_mask — building
+    it costs a per-level key sort + lookup over every new cell."""
     dim = old.dim
-    omap = old_cell_of_new(old, new)
+    if omap is None:
+        omap = old_cell_of_new(old, new)
     odofs, ndofs = old.dofs_of(degree), new.dofs_of(degree)
     u_cell_old = np.asarray(u_old)[odofs.cell2dof[omap]]   # (n_new, nb)
     from coulomb_gmg_tpu.mesh.forest import node_offsets
@@ -99,11 +102,13 @@ def transfer_solution(old: Forest, new: Forest, u_old: np.ndarray,
 
 
 def transfer_cell_mask(old: Forest, new: Forest,
-                       mask_old: np.ndarray) -> np.ndarray:
+                       mask_old: np.ndarray,
+                       omap: np.ndarray = None) -> np.ndarray:
     """Per-cell atom mask/list migration: children inherit the parent's
     set (unpack semantics of src/step-50.cc:441-456).  The row gather is
     multi-GB at 64k atoms (1.8M cells x K~300 int32 list entries) — it
     goes through the threaded native engine."""
     from coulomb_gmg_tpu.utils import native
-    omap = old_cell_of_new(old, new)
+    if omap is None:
+        omap = old_cell_of_new(old, new)
     return native.gather_rows(np.ascontiguousarray(mask_old), omap)

@@ -599,15 +599,21 @@ class Simulation:
                 "Refine, solution transfer and sending atoms list to child cells"):
             old = self.forest
             new = old.refine(self.flags)
+            # the old->new covering map is shared by every transfer below
+            # (building it costs per-level key sorts over all new cells)
+            from coulomb_gmg_tpu.adapt.transfer import old_cell_of_new
+            omap = old_cell_of_new(old, new)
             if self.lammpsinput and cfg.flag_rhs_assembly:
                 if self.mask is not None:
-                    self.mask = transfer_cell_mask(old, new, self.mask)
+                    self.mask = transfer_cell_mask(old, new, self.mask,
+                                                   omap=omap)
                 if self.lists is not None:
                     # children inherit the parent's padded atom list — the
                     # p4est attach/unpack semantics (src/step-50.cc:441-456)
-                    self.lists = transfer_cell_mask(old, new, self.lists)
+                    self.lists = transfer_cell_mask(old, new, self.lists,
+                                                    omap=omap)
             u_new = transfer_solution(old, new, self.solution,
-                                      degree=cfg.degree)
+                                      degree=cfg.degree, omap=omap)
             self.forest = new
             self.solution = u_new
         self.setup(cycle)

@@ -106,19 +106,28 @@ class AssemblyPlan:
 
 def _ragged_cross(offsets: np.ndarray):
     """For segments [offsets[c], offsets[c+1]), return index arrays (a, b)
-    enumerating the cartesian product within each segment."""
+    enumerating the cartesian product within each segment (a-major, b-minor
+    within each segment).
+
+    Pure repeat/cumsum arithmetic — no per-pair integer division (the
+    obvious ``local // k`` / ``local % k`` construction spends ~60% of the
+    build_plan dirty-cell expansion in int64 division at production scale).
+    """
     counts = np.diff(offsets)
     if len(counts) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    sq = counts * counts
-    total = int(sq.sum())
-    seg_of = np.repeat(np.arange(len(counts)), sq)
-    base = np.repeat(offsets[:-1], sq)
-    start = np.repeat(np.concatenate([[0], np.cumsum(sq)[:-1]]), sq)
-    local = np.arange(total) - start
-    n_in_seg = np.repeat(counts, sq)
-    a = base + local // np.maximum(n_in_seg, 1)
-    b = base + local % np.maximum(n_in_seg, 1)
+    n_elem = int(offsets[-1])
+    # each element e of segment c is the LEFT side of k_c pairs
+    k_of_elem = np.repeat(counts, counts)                     # (n_elem,)
+    a = np.repeat(np.arange(n_elem, dtype=np.int64), k_of_elem)
+    total = len(a)
+    # right side: segment base + position of the pair within e's block
+    pair_start = np.zeros(n_elem + 1, dtype=np.int64)
+    np.cumsum(k_of_elem, out=pair_start[1:])
+    local_j = np.arange(total, dtype=np.int64) - np.repeat(
+        pair_start[:-1], k_of_elem)
+    seg_base = np.repeat(offsets[:-1], counts)                # (n_elem,)
+    b = np.repeat(seg_base, k_of_elem) + local_j
     return a, b
 
 
@@ -169,15 +178,23 @@ def _expand_entries(cell2dof: np.ndarray, crow: np.ndarray,
             exp_dof[dst] = constraints.cols[src]
             exp_w[dst] = constraints.weights[src]
 
-    # matrix entries: cross product of expansions within each cell
-    cell_off = exp_off[::n_basis]
-    a, b = _ragged_cross(cell_off)
-    m_cell = exp_cell[a]
-    m_i = exp_i[a]
-    m_j = exp_i[b]
-    m_w = exp_w[a] * exp_w[b]
-    m_row = exp_dof[a]
-    m_col = exp_dof[b]
+    # matrix entries: cross product of expansions within each cell —
+    # native threaded fill (one pass, disjoint writes) with a numpy
+    # fallback (~6 gather passes over 8M+ entries at production scale)
+    from coulomb_gmg_tpu.utils import native
+    cell_off = np.ascontiguousarray(exp_off[::n_basis])
+    cg = native.cross_gather(cell_off, exp_i, np.asarray(exp_w, np.float64),
+                             exp_dof)
+    if cg is not None:
+        m_cell, m_i, m_j, m_w, m_row, m_col = cg
+    else:
+        a, b = _ragged_cross(cell_off)
+        m_cell = exp_cell[a]
+        m_i = exp_i[a]
+        m_j = exp_i[b]
+        m_w = exp_w[a] * exp_w[b]
+        m_row = exp_dof[a]
+        m_col = exp_dof[b]
 
     # constrained diagonal entries
     d_sel = np.where(is_con.reshape(-1))[0]

@@ -47,6 +47,17 @@ class KeyIndex:
     def contains(self, query: np.ndarray) -> np.ndarray:
         return self.lookup(query) >= 0
 
+    @staticmethod
+    def with_order(keys: np.ndarray):
+        """(KeyIndex, order) for keys KNOWN UNIQUE (e.g. level-cell keys):
+        one sort serves both the index and the position->original map,
+        instead of the KeyIndex(keys) + np.argsort(keys) double sort."""
+        keys = np.asarray(keys, dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        ki = KeyIndex.__new__(KeyIndex)
+        ki.keys = keys[order]
+        return ki, order
+
 
 def corner_offsets(dim: int) -> np.ndarray:
     """(2^dim, dim) corner offsets in deal.II vertex order (x fastest)."""
@@ -242,9 +253,8 @@ class Forest:
         per_level = {}
         for l in range(lmax + 1):
             sel = np.where(lvl == l)[0]
-            ki = KeyIndex(self.level_cell_key(l, self.ijk[sel]))
-            # KeyIndex sorts/uniquifies; build map key->active index
-            order = np.argsort(self.level_cell_key(l, self.ijk[sel]))
+            ki, order = KeyIndex.with_order(
+                self.level_cell_key(l, self.ijk[sel]))
             per_level[l] = (ki, sel[order])
         off = corner_offsets(self.dim)  # reuse as 0/1 offsets
         for l in range(lmax, 0, -1):

@@ -77,6 +77,10 @@ def _load():
             lib.cgmg_csr_to_ell.argtypes = [
                 i64p, i64p, u8p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, i32p, u8p]
+            lib.cgmg_cross_gather.restype = None
+            lib.cgmg_cross_gather.argtypes = [
+                i64p, ctypes.c_int64, i64p, i64p, f64p, i64p,
+                i64p, i64p, i64p, f64p, i64p, i64p]
             _LIB = lib
         except Exception:
             _LIB = None
@@ -226,6 +230,36 @@ def csr_to_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
                         data.dtype.itemsize, n_rows, K, ecols,
                         evals.view(np.uint8).reshape(-1))
     return ecols, evals
+
+
+def cross_gather(cell_off: np.ndarray, exp_i: np.ndarray,
+                 exp_w: np.ndarray, exp_dof: np.ndarray):
+    """Per-segment cartesian-product expansion of constraint-expanded
+    (dof, weight, local-i) triples into the six dirty matrix-entry arrays
+    (m_cell LOCAL, m_i, m_j, m_w, m_row, m_col).  None if the native
+    engine is unavailable (caller falls back to the numpy construction)."""
+    lib = _load()
+    if lib is None:
+        return None
+    cell_off = np.ascontiguousarray(cell_off, np.int64)
+    exp_i = np.ascontiguousarray(exp_i, np.int64)
+    exp_w = np.ascontiguousarray(exp_w, np.float64)
+    exp_dof = np.ascontiguousarray(exp_dof, np.int64)
+    n_seg = len(cell_off) - 1
+    seg_len = np.diff(cell_off)
+    pair_start = np.zeros(n_seg + 1, dtype=np.int64)
+    np.cumsum(seg_len * seg_len, out=pair_start[1:])
+    total = int(pair_start[-1])
+    m_cell = np.empty(total, np.int64)
+    m_i = np.empty(total, np.int64)
+    m_j = np.empty(total, np.int64)
+    m_w = np.empty(total, np.float64)
+    m_row = np.empty(total, np.int64)
+    m_col = np.empty(total, np.int64)
+    if total:
+        lib.cgmg_cross_gather(cell_off, n_seg, pair_start, exp_i, exp_w,
+                              exp_dof, m_cell, m_i, m_j, m_w, m_row, m_col)
+    return m_cell, m_i, m_j, m_w, m_row, m_col
 
 
 def gather_rows(src: np.ndarray, idx: np.ndarray) -> np.ndarray:

@@ -217,15 +217,6 @@ int64_t cgmg_pattern(const int64_t* c2d, int64_t m, int64_t nb,
     for (int64_t i = 0; i <= n; ++i) indptr[i] = 0;
     return 0;
   }
-  auto key_of = [&](int64_t i) -> int64_t {
-    if (i < mq) {
-      const int64_t c = i / nb2;
-      const int64_t rem = i - c * nb2;
-      return c2d[c * nb + rem / nb] * n + c2d[c * nb + rem % nb];
-    }
-    const int64_t j = i - mq;
-    return erows[j] * n + ecols[j];
-  };
   const unsigned T = n_threads();
 
   // bucket by top key bits (keys are in [0, n*n))
@@ -235,10 +226,36 @@ int64_t cgmg_pattern(const int64_t* c2d, int64_t m, int64_t nb,
   while ((range128 >> shift) > (int64_t(1) << bucket_bits)) ++shift;
   const int64_t B = int64_t(range128 >> shift) + 1;
 
+  // visit every enumerated pair with its index — strength-reduced cell
+  // loops (a per-pair i/nb2, rem/nb, rem%nb key_of costs ~2 int64
+  // divisions per visit and dominated the histogram+scatter passes)
+  auto visit_range = [&](int64_t lo, int64_t hi, auto&& fn) {
+    int64_t i = lo;
+    if (i < mq) {
+      int64_t c = i / nb2;
+      int64_t rem = i - c * nb2;
+      int64_t ii = rem / nb, jj = rem - (rem / nb) * nb;
+      const int64_t stop = std::min(hi, mq);
+      while (i < stop) {
+        const int64_t* row = c2d + c * nb;
+        const int64_t rbase = row[ii] * n;
+        for (; jj < nb && i < stop; ++jj, ++i) fn(i, rbase + row[jj]);
+        if (jj == nb) {
+          jj = 0;
+          if (++ii == nb) { ii = 0; ++c; }
+        }
+      }
+    }
+    for (; i < hi; ++i) {
+      const int64_t j = i - mq;
+      fn(i, erows[j] * n + ecols[j]);
+    }
+  };
+
   std::vector<std::vector<int64_t>> hist(T, std::vector<int64_t>(B, 0));
   parallel_for(total, [&](int64_t lo, int64_t hi, unsigned t) {
     auto& h = hist[t];
-    for (int64_t i = lo; i < hi; ++i) ++h[key_of(i) >> shift];
+    visit_range(lo, hi, [&](int64_t, int64_t key) { ++h[key >> shift]; });
   });
   std::vector<int64_t> bucket_start(B + 1, 0);
   for (int64_t b = 0; b < B; ++b)
@@ -256,10 +273,9 @@ int64_t cgmg_pattern(const int64_t* c2d, int64_t m, int64_t nb,
   std::vector<KV> buf(total);
   parallel_for(total, [&](int64_t lo, int64_t hi, unsigned t) {
     auto& o = offs[t];
-    for (int64_t i = lo; i < hi; ++i) {
-      const int64_t key = key_of(i);
+    visit_range(lo, hi, [&](int64_t i, int64_t key) {
       buf[o[key >> shift]++] = {key, i};
-    }
+    });
   });
   {
     std::vector<std::thread> ts;
@@ -399,6 +415,42 @@ void cgmg_atom_lists(const double* lower, const double* hh, int64_t m,
         if (d < 0) break;
       }
       counts[c] = cnt;
+    }
+  });
+}
+
+// Dirty-cell constraint-expansion cross products (fem/assembly.py
+// _expand_entries): for each cell segment [cell_off[c], cell_off[c+1])
+// of expanded (dof, weight, local-i) triples, emit the full cartesian
+// product — the matrix-entry stream of deal.II's
+// distribute_local_to_global for constrained cells.  Pair p of segment c
+// (a-major, b-minor) writes
+//   m_cell[p]=c (LOCAL id), m_i=exp_i[a], m_j=exp_i[b],
+//   m_w=exp_w[a]*exp_w[b], m_row=exp_dof[a], m_col=exp_dof[b]
+// at position pair_start[c] + .. (pair_start = prefix of seg_len^2,
+// caller-computed).  Parallel over cells, disjoint writes, no temporaries
+// — the numpy construction is ~8 passes over six 8M-entry arrays.
+void cgmg_cross_gather(const int64_t* cell_off, int64_t n_seg,
+                       const int64_t* pair_start, const int64_t* exp_i,
+                       const double* exp_w, const int64_t* exp_dof,
+                       int64_t* m_cell, int64_t* m_i, int64_t* m_j,
+                       double* m_w, int64_t* m_row, int64_t* m_col) {
+  parallel_buckets(n_seg, [&](int64_t clo, int64_t chi, unsigned) {
+    for (int64_t c = clo; c < chi; ++c) {
+      const int64_t s = cell_off[c], e = cell_off[c + 1];
+      int64_t p = pair_start[c];
+      for (int64_t a = s; a < e; ++a) {
+        const int64_t ia = exp_i[a], da = exp_dof[a];
+        const double wa = exp_w[a];
+        for (int64_t b = s; b < e; ++b, ++p) {
+          m_cell[p] = c;
+          m_i[p] = ia;
+          m_j[p] = exp_i[b];
+          m_w[p] = wa * exp_w[b];
+          m_row[p] = da;
+          m_col[p] = exp_dof[b];
+        }
+      }
     }
   });
 }
