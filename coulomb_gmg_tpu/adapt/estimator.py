@@ -110,6 +110,167 @@ def build_face_plan(forest: Forest) -> FacePlan:
                     cf_sub=cat(cf_sub))
 
 
+def update_face_plan(old: Forest, new: Forest, old_plan: FacePlan,
+                     omap: np.ndarray) -> FacePlan:
+    """Incremental FacePlan across one refinement step.
+
+    Only faces incident to refined cells change: faces between two
+    SURVIVING cells are kept (indices remapped through the old->new
+    covering map ``omap``); faces incident to NEW cells (children) are
+    discovered by scanning just the new cells — both face directions, with
+    ownership rules that add each face exactly once:
+
+    * new-new same-level: counted from the + direction (as in the full
+      builder);
+    * new-surviving same-level: counted from the new side (the surviving
+      side is not scanned);
+    * coarse-fine with a NEW fine cell: counted from the fine side;
+    * coarse-fine with a SURVIVING fine cell and new coarse cell: counted
+      from the coarse side (fine side not scanned) — the 2:1 balance
+      guarantees those fine subcells are active.
+
+    Replaces the full O(n_cells) rebuild per cycle with O(new cells) work
+    (plus per-level key sorts for the levels new cells touch); the
+    reference pays this cost inside KellyErrorEstimator on every cycle
+    (src/step-50.cc:1020-1090)."""
+    dim = new.dim
+    omap = np.asarray(omap)
+    survived_new = new.level == old.level[omap]          # per NEW cell
+    new_of_old = np.full(old.n_cells, -1, dtype=np.int64)
+    surv_idx = np.where(survived_new)[0]
+    new_of_old[omap[surv_idx]] = surv_idx
+    old_survived = new_of_old >= 0                       # per OLD cell
+
+    # ---- keep remapped faces between surviving cells
+    keep_sl = old_survived[old_plan.sl_a] & old_survived[old_plan.sl_b]
+    sl_a = [new_of_old[old_plan.sl_a[keep_sl]]]
+    sl_b = [new_of_old[old_plan.sl_b[keep_sl]]]
+    sl_axis = [old_plan.sl_axis[keep_sl]]
+    keep_cf = (old_survived[old_plan.cf_fine]
+               & old_survived[old_plan.cf_coarse])
+    cf_fine = [new_of_old[old_plan.cf_fine[keep_cf]]]
+    cf_coarse = [new_of_old[old_plan.cf_coarse[keep_cf]]]
+    cf_axis = [old_plan.cf_axis[keep_cf]]
+    cf_side = [old_plan.cf_side[keep_cf]]
+    cf_sub = [old_plan.cf_sub[keep_cf]]
+
+    # ---- per-level key indexes of the NEW forest, built lazily
+    lvl = new.level.astype(np.int64)
+    per_level = {}
+
+    def ki_of(l):
+        if l not in per_level:
+            if l < 0 or l >= new.n_levels:
+                per_level[l] = None
+            else:
+                sel = np.where(lvl == l)[0]
+                keys = new.level_cell_key(l, new.ijk[sel])
+                order = np.argsort(keys)
+                per_level[l] = (KeyIndex(keys), sel[order])
+        return per_level[l]
+
+    is_new = ~survived_new
+    new_cells = np.where(is_new)[0]
+    for l in np.unique(lvl[new_cells]) if len(new_cells) else []:
+        cells = new_cells[lvl[new_cells] == l]
+        ijk = new.ijk[cells]
+        side_n = new.side(l)
+        ki_l = ki_of(l)
+        for axis in range(dim):
+            free = [d for d in range(dim) if d != axis]
+            for sgn in (1, -1):
+                nb = ijk.copy()
+                nb[:, axis] += sgn
+                inside = (nb[:, axis] >= 0) & (nb[:, axis] < side_n)
+                ki, act = ki_l
+                pos = ki.lookup(new.level_cell_key(l, nb))
+                pos = np.where(inside, pos, -1)
+                same = pos >= 0
+                if same.any():
+                    other = act[pos[same]]
+                    o_new = is_new[other]
+                    # new-new: + direction only; new-surviving: always.
+                    # Orientation: sl_a is the cell on the LOW side of the
+                    # face (the full builder scans + direction only).
+                    add = (~o_new) | (sgn == 1)
+                    here = cells[same][add]
+                    there = other[add]
+                    a = here if sgn == 1 else there
+                    b = there if sgn == 1 else here
+                    sl_a.append(a)
+                    sl_b.append(b)
+                    sl_axis.append(np.full(len(a), axis, dtype=np.int64))
+                # coarse neighbor (fine side = this new cell)
+                rem = inside & ~same
+                if rem.any() and l > 0 and ki_of(l - 1) is not None:
+                    kc, actc = ki_of(l - 1)
+                    parent = nb[rem] // 2
+                    posc = kc.lookup(new.level_cell_key(l - 1, parent))
+                    hit = posc >= 0
+                    if hit.any():
+                        fc = cells[rem][hit]
+                        sub = np.zeros(hit.sum(), dtype=np.int64)
+                        fijk = new.ijk[fc]
+                        for k, d in enumerate(free):
+                            sub |= (fijk[:, d] & 1) << k
+                        cf_fine.append(fc)
+                        cf_coarse.append(actc[posc[hit]])
+                        cf_axis.append(np.full(hit.sum(), axis,
+                                               dtype=np.int64))
+                        cf_side.append(np.full(hit.sum(),
+                                               1 if sgn == 1 else 0,
+                                               dtype=np.int64))
+                        cf_sub.append(sub)
+                    rem2 = np.where(rem)[0][~hit]
+                else:
+                    rem2 = np.where(rem)[0]
+                # finer neighbors (coarse side = this new cell); add only
+                # SURVIVING fine subcells — new fine cells add the face
+                # from their own scan
+                if len(rem2) and ki_of(l + 1) is not None:
+                    kf, actf = ki_of(l + 1)
+                    nbr = nb[rem2]
+                    base = nbr * 2
+                    # subcells on the face adjacent to this cell: axis
+                    # coordinate pinned to the NEAR side of the neighbor
+                    base[:, axis] = (2 * nbr[:, axis]
+                                     + (0 if sgn == 1 else 1))
+                    for subcfg in range(2 ** (dim - 1)):
+                        sub_ijk = base.copy()
+                        for k, d in enumerate(free):
+                            sub_ijk[:, d] += (subcfg >> k) & 1
+                        posf = kf.lookup(new.level_cell_key(l + 1, sub_ijk))
+                        hitf = posf >= 0
+                        if not hitf.any():
+                            continue
+                        f = actf[posf[hitf]]
+                        sels = ~is_new[f]
+                        if not sels.any():
+                            continue
+                        f = f[sels]
+                        cc = cells[rem2][hitf][sels]
+                        fijk = new.ijk[f]
+                        sub = np.zeros(len(f), dtype=np.int64)
+                        for k, d in enumerate(free):
+                            sub |= (fijk[:, d] & 1) << k
+                        cf_fine.append(f)
+                        cf_coarse.append(cc)
+                        cf_axis.append(np.full(len(f), axis,
+                                               dtype=np.int64))
+                        # the fine cell sees its coarse neighbor in the
+                        # -sgn direction
+                        cf_side.append(np.full(len(f),
+                                               1 if sgn == -1 else 0,
+                                               dtype=np.int64))
+                        cf_sub.append(sub)
+
+    cat = lambda xs: (np.concatenate(xs) if xs else np.zeros(0, np.int64))
+    return FacePlan(sl_a=cat(sl_a), sl_b=cat(sl_b), sl_axis=cat(sl_axis),
+                    cf_fine=cat(cf_fine), cf_coarse=cat(cf_coarse),
+                    cf_axis=cat(cf_axis), cf_side=cat(cf_side),
+                    cf_sub=cat(cf_sub))
+
+
 def _face_grad_tables(dim: int, degree: int, n_q1: int):
     """Reference-gradient tables at face quadrature points.
 
@@ -139,11 +300,16 @@ def _face_grad_tables(dim: int, degree: int, n_q1: int):
 
 def estimate(forest: Forest, cell2dof: np.ndarray, u, rho_q,
              rhs_points_ref: np.ndarray, rhs_weights: np.ndarray,
-             degree: int = 1, use_volume_term: bool = True) -> np.ndarray:
-    """Per-cell error indicator (numpy float64, length n_cells)."""
+             degree: int = 1, use_volume_term: bool = True,
+             plan: FacePlan = None) -> np.ndarray:
+    """Per-cell error indicator (numpy float64, length n_cells).
+
+    ``plan``: a prebuilt/incrementally-updated FacePlan for this forest
+    (adapt/estimator.py:update_face_plan); None rebuilds from scratch."""
     dim = forest.dim
     n_q1 = degree + 1
-    plan = build_face_plan(forest)
+    if plan is None:
+        plan = build_face_plan(forest)
     grads, fweights, sub_grads = _face_grad_tables(dim, degree, n_q1)
 
     # host numpy throughout: per-cycle shapes are fresh every adaptive

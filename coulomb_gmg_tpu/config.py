@@ -104,11 +104,16 @@ class Config:
     solver_backend: str = "auto"         # auto | gmg | tpu_cg (bucketed TPU kernel)
     output_dir: str = "."
     write_vtu: bool = False
-    # hybrid placement: the V-cycle is DISPATCH-latency bound (hundreds of
-    # small ops per solve), so it only belongs on the accelerator once the
-    # vectors are large enough to amortize per-op latency; chunky
-    # density/FE-error offloads have no such floor.
-    solve_device_min_dofs: int = 2_000_000
+    # hybrid placement: accelerator-resident solves run the FUSED
+    # single-executable GMG-CG (solver/tpu_gmg.py:_fused_gmg_cg — one
+    # dispatch per solve, so per-op tunnel latency no longer applies); the
+    # floor now only guards against shipping hundreds of MB of level
+    # operators for solves the 2-core host finishes in seconds.  1.5M DoF
+    # admits the 64k-atom production solve (1.77M..1.93M DoF per cycle).
+    solve_device_min_dofs: int = 1_500_000
+    # fused whole-solve executable for device-resident solves; False falls
+    # back to the host-orchestrated block-wise CG (measurement aid).
+    solve_fused: bool = True
     # elastic accelerator demotion: if a hot stage (density / solve /
     # FE-error postprocess) takes longer than this on the accelerator, the
     # shared pool is stalling and subsequent cycles run on the host — same

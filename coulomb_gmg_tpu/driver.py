@@ -479,11 +479,13 @@ class Simulation:
                             gmg_tpu, self.plan.pattern.indptr,
                             self.plan.pattern.indices,
                             np.asarray(self.A.data), rhs_np, x0_np,
-                            rtol=cfg.cg_rtol, maxiter=cfg.cg_max_iters)
+                            rtol=cfg.cg_rtol, maxiter=cfg.cg_max_iters,
+                            fused=None if cfg.solve_fused else False)
                     else:
                         x, k, res0, resf = gmg_tpu.solve(
                             rhs_np, x0_np, rtol=cfg.cg_rtol,
-                            maxiter=cfg.cg_max_iters)
+                            maxiter=cfg.cg_max_iters,
+                            fused=None if cfg.solve_fused else False)
                     # elastic placement: if the tunneled accelerator is
                     # stalling (shared-pool latency), demote subsequent
                     # cycles to the host backend — same solver, same math.
@@ -582,12 +584,19 @@ class Simulation:
             # under an accelerator backend would round-trip these arrays
             # through the tunnel (57 MB of rho_q at 31 MB/s up, 2.4 MB/s
             # back — ~16 s/cycle of pure transfer at 64k atoms)
+            # face plan: built once at cycle 0, then updated INCREMENTALLY
+            # across refinements (refine() below) — only faces touching
+            # new cells are rediscovered (adapt/estimator.py:update_face_plan)
+            if getattr(self, "_face_plan", None) is None:
+                from coulomb_gmg_tpu.adapt.estimator import build_face_plan
+                self._face_plan = build_face_plan(self.forest)
             err = estimate(self.forest,
                            self.forest.dofs_of(cfg.degree).cell2dof,
                            np.asarray(self.solution), np.asarray(rho_q),
                            self.tab_rhs.points, self.tab_rhs.weights,
                            degree=cfg.degree,
-                           use_volume_term=cfg.estimator_volume_term)
+                           use_volume_term=cfg.estimator_volume_term,
+                           plan=self._face_plan)
             self.error_per_cell = err
             self.flags, thr = mark_cells(err, cfg.refine_fraction_of_max)
         self.pcout("Threshold value for refinement:\t" + sci10(thr))
@@ -614,6 +623,10 @@ class Simulation:
                                                     omap=omap)
             u_new = transfer_solution(old, new, self.solution,
                                       degree=cfg.degree, omap=omap)
+            if getattr(self, "_face_plan", None) is not None:
+                from coulomb_gmg_tpu.adapt.estimator import update_face_plan
+                self._face_plan = update_face_plan(old, new,
+                                                   self._face_plan, omap)
             self.forest = new
             self.solution = u_new
         self.setup(cycle)

@@ -70,25 +70,59 @@ def make_ssor_host(A, omega: float = 0.5):
 
 def make_mc_ssor(A, color: np.ndarray, omega: float = 0.5):
     """Multicolor symmetric Gauss-Seidel: within a color all updates are
-    independent, so each half-sweep is n_colors masked "residual/diag"
-    updates — pure jnp, jit/TPU friendly.
+    independent, so each half-sweep visits the colors in order with a
+    per-color defect-correction update — pure jnp, jit/TPU friendly.
+
+    O(nnz) per half-sweep: each color's update reads ONLY its own rows,
+    pre-sliced into a padded per-color ELL block (gather + row-sum), so a
+    full symmetric application costs 2*nnz — not the 2*n_colors full
+    matvecs (16 in 3D) of a masked-matvec formulation.  Same math: the
+    update for row i of color c is y_i += omega/a_ii * (r_i - A_i.y) with
+    y as left by the previous colors (src/step-50.cc:969-973 semantics,
+    reordered by color).
 
     color: (n,) int — lattice-parity coloring (2^dim colors for Q1 stencils
     guarantees no same-color coupling on uniform regions; stray same-color
     couplings at refinement edges only perturb the smoother slightly).
     """
     n_colors = int(color.max()) + 1 if len(color) else 1
-    inv_diag = omega / A.diagonal()
-    masks = [jnp.asarray(color == c) for c in range(n_colors)]
+    diag = np.asarray(A.diagonal())
+    indptr = np.asarray(A.indptr)
+    indices = np.asarray(A.indices)
+    data = np.asarray(A.data)
+    counts = np.diff(indptr)
+    slices = []
+    for c in range(n_colors):
+        rows = np.where(np.asarray(color) == c)[0]
+        if len(rows) == 0:
+            continue
+        starts, lens = indptr[rows], counts[rows]
+        total = int(lens.sum())
+        off = np.repeat(lens.cumsum() - lens, lens)
+        k_in_row = np.arange(total) - off
+        src = np.repeat(starts, lens) + k_in_row
+        K = max(int(lens.max()) if len(lens) else 1, 1)
+        cols = np.zeros((len(rows), K), np.int64)
+        vals = np.zeros((len(rows), K), data.dtype)
+        rpos = np.repeat(np.arange(len(rows)), lens)
+        cols[rpos, k_in_row] = indices[src]
+        vals[rpos, k_in_row] = data[src]
+        slices.append((jnp.asarray(rows), jnp.asarray(cols),
+                       jnp.asarray(vals),
+                       jnp.asarray(omega / diag[rows])))
 
     def precond(r):
         y = jnp.zeros_like(r)
-        for c in range(n_colors):
-            resid = r - A.matvec(y)
-            y = y + jnp.where(masks[c], inv_diag * resid, 0.0)
-        for c in range(n_colors - 1, -1, -1):
-            resid = r - A.matvec(y)
-            y = y + jnp.where(masks[c], inv_diag * resid, 0.0)
+
+        def upd(y, sl):
+            rows, cols, vals, w = sl
+            resid = r[rows] - jnp.sum(vals * y[cols], axis=1)
+            return y.at[rows].add(w * resid)
+
+        for sl in slices:
+            y = upd(y, sl)
+        for sl in reversed(slices):
+            y = upd(y, sl)
         return y
     return precond
 

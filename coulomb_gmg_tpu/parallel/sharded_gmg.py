@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from coulomb_gmg_tpu.parallel.sharded import (
-    round_up, shard_map, HaloPlan, halo_import)
+    round_up, shard_map, HaloPlan, halo_import, put_blocks)
 
 
 def _block_coo(rowids, cols, data, n_rows: int, n_dev: int, np_dtype):
@@ -447,6 +447,11 @@ class ShardedGMG:
             return np.broadcast_to(a, (D,) + a.shape).copy()
 
         self._flat_ops = [to_dev_axis(leaf) for leaf in flat]
+        # globally-sharded operator arrays, built ONCE: multi-process safe
+        # (each process materializes only its addressable shards — the
+        # analogue of every MPI rank holding its own Trilinos row block)
+        # and no per-solve host->device reshard single-process.
+        self._flat_dev = [put_blocks(o, self.mesh) for o in self._flat_ops]
 
         specs = tuple(P(self.axis) for _ in self._flat_ops)
         fn = shard_map(solve_body, mesh=self.mesh,
@@ -457,8 +462,10 @@ class ShardedGMG:
 
     # ------------------------------------------------------------------
 
-    def solve(self, rhs, x0=None, rtol: float = 1e-8):
-        """numpy in / numpy out; returns (x, iters, res0, res)."""
+    def solve_global(self, rhs, x0=None, rtol: float = 1e-8):
+        """Global-array solve: returns (x_blocks global jax array (D, block),
+        iters, res0, res) — usable from every process of a multi-host mesh
+        (each process sees its addressable shards of x_blocks)."""
         b = np.zeros(self.n_pad, self.np_dtype)
         b[: self.n] = np.asarray(rhs, self.np_dtype)
         x = np.zeros(self.n_pad, self.np_dtype)
@@ -466,7 +473,13 @@ class ShardedGMG:
             x[: self.n] = np.asarray(x0, self.np_dtype)
         tol = np.asarray(rtol * np.linalg.norm(b), self.np_dtype)
         xb, k, res0, res = self._solver(
-            b.reshape(self.D, -1), x.reshape(self.D, -1), tol,
-            *[jnp.asarray(o) for o in self._flat_ops])
-        return (np.asarray(xb).reshape(-1)[: self.n], int(k), float(res0),
-                float(res))
+            put_blocks(b.reshape(self.D, -1), self.mesh),
+            put_blocks(x.reshape(self.D, -1), self.mesh), tol,
+            *self._flat_dev)
+        return xb, int(k), float(res0), float(res)
+
+    def solve(self, rhs, x0=None, rtol: float = 1e-8):
+        """numpy in / numpy out; returns (x, iters, res0, res)
+        (single-process: the global solution is addressable)."""
+        xb, k, res0, res = self.solve_global(rhs, x0, rtol)
+        return (np.asarray(xb).reshape(-1)[: self.n], k, res0, res)

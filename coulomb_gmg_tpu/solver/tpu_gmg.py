@@ -232,6 +232,168 @@ class _Packer:
         return out
 
 
+# ---------------------------------------------------------------------------
+# fused whole-solve executable
+# ---------------------------------------------------------------------------
+
+def _ell_mv_t(cols, vals, x):
+    return jnp.sum(vals * x[cols], axis=1)
+
+
+def _cheb_t(ecols, evals, inv_diag, d, x0, theta, delta, degree: int,
+            from_zero: bool):
+    """Traced Chebyshev smoother (same math as _cheb, inlined into the
+    fused executable)."""
+    def amv(v):
+        return _ell_mv_t(ecols, evals, v)
+
+    if from_zero:
+        r = inv_diag * d
+    else:
+        r = inv_diag * (d - amv(x0))
+    p = r / theta
+    x = (p if from_zero else x0 + p)
+    sigma = theta / delta
+    rho_old = 1.0 / sigma
+    for _ in range(degree - 1):
+        r = inv_diag * (d - amv(x))
+        rho = 1.0 / (2.0 * sigma - rho_old)
+        p = rho * rho_old * p + (2.0 * rho / delta) * r
+        x = x + p
+        rho_old = rho
+    return x
+
+
+@partial(jax.jit, static_argnames=("treedef", "degree", "dst_shape",
+                                   "coarse_maxiter", "maxiter"))
+def _fused_gmg_cg(rhs, x0, tol, coarse_rtol, flat, *, treedef, degree,
+                  dst_shape, coarse_maxiter, maxiter):
+    """The ENTIRE GMG-preconditioned CG solve as ONE executable: V-cycles,
+    coarse solve (DST direct or Chebyshev-CG), and the data-dependent outer
+    CG as a ``lax.while_loop``.  One dispatch per solve — on a tunneled
+    accelerator this removes the per-op round-trip latency that kept the
+    production solve on the host (the reference's whole solve is
+    src/step-50.cc:938-1017; its CG runs distributed SpMV per iteration).
+
+    Operators arrive as ARGUMENTS (never closure constants — XLA would
+    constant-fold 44.8M-entry index arrays); bucket-padded shapes keep one
+    executable per topology bucket across adaptive cycles."""
+    ops = jax.tree_util.tree_unflatten(treedef, flat)
+    levels = ops["levels"]
+    L = len(levels) - 1
+    n_pad = rhs.shape[0]
+    dtype = rhs.dtype
+
+    def sys_mv(v):
+        return _ell_mv_t(ops["sys"][0], ops["sys"][1], v)
+
+    def cheb_lv(lv, d, u0, from_zero):
+        return _cheb_t(lv["A"][0], lv["A"][1], lv["inv_diag"], d, u0,
+                       lv["theta"], lv["delta"], degree, from_zero)
+
+    def coarse_solve(d0):
+        lv = levels[0]
+        if ops["dst"] is not None:
+            S, lam, interior, bnd = ops["dst"]
+            return _coarse_apply(S, lam, d0, lv["inv_diag"], interior, bnd,
+                                 dst_shape)
+        # Chebyshev-preconditioned CG while_loop on the coarse ELL
+        def amv(v):
+            return _ell_mv_t(lv["A"][0], lv["A"][1], v)
+
+        def M(r):
+            return cheb_lv(lv, r, r, True)
+
+        x = jnp.zeros_like(d0)
+        r = d0
+        r2 = jnp.vdot(r, r)
+        tol2 = (coarse_rtol ** 2) * r2
+        z = M(r)
+        p = z
+        rho = jnp.vdot(r, z)
+
+        def cond(s):
+            x, r, p, rho, r2, k = s
+            return (r2 > tol2) & (k < coarse_maxiter)
+
+        def body(s):
+            x, r, p, rho, r2, k = s
+            q = amv(p)
+            denom = jnp.vdot(p, q)
+            alpha = jnp.where(denom != 0, rho / jnp.where(
+                denom != 0, denom, 1), 0.0)
+            x = x + alpha * p
+            r = r - alpha * q
+            z = M(r)
+            rho_new = jnp.vdot(r, z)
+            beta = jnp.where(rho != 0, rho_new / jnp.where(
+                rho != 0, rho, 1), 0.0)
+            p = z + beta * p
+            return (x, r, p, rho_new, jnp.vdot(r, r), k + 1)
+
+        x, *_ = jax.lax.while_loop(cond, body,
+                                   (x, r, p, rho, r2, jnp.asarray(0)))
+        return x
+
+    def vcycle(g):
+        defect = [jnp.zeros(lv["inv_diag"].shape[0], dtype)
+                  .at[lv["cl"]].set(g[lv["cg"]]) for lv in levels]
+        sol = [None] * (L + 1)
+        for l in range(L, 0, -1):
+            lv = levels[l]
+            u = cheb_lv(lv, defect[l], defect[l], True)
+            r = defect[l] - _ell_mv_t(lv["A"][0], lv["A"][1], u)
+            if lv["if"] is not None:
+                r = r - _ell_mv_t(lv["if"][0], lv["if"][1], u)
+            defect[l - 1] = defect[l - 1] + _ell_mv_t(lv["R"][0],
+                                                      lv["R"][1], r)
+            sol[l] = u
+        sol[0] = coarse_solve(defect[0])
+        for l in range(1, L + 1):
+            lv = levels[l]
+            u = sol[l] + _ell_mv_t(lv["P"][0], lv["P"][1], sol[l - 1])
+            d = defect[l]
+            if lv["ifT"] is not None:
+                d = d - _ell_mv_t(lv["ifT"][0], lv["ifT"][1], u)
+            sol[l] = cheb_lv(lv, d, u, False)
+        out = jnp.zeros(n_pad, dtype)
+        out = out.at[levels[0]["cg"]].set(sol[0][levels[0]["cl"]])
+        for l in range(1, L + 1):
+            lv = levels[l]
+            out = out.at[lv["cg"]].set(sol[l][lv["cl"]])
+        return out
+
+    r = rhs - sys_mv(x0)
+    res0_2 = jnp.vdot(r, r)
+    tol2 = tol * tol
+    z = vcycle(r)
+    p = z
+    rho = jnp.vdot(r, z)
+
+    def cond(s):
+        x, r, p, rho, res2, k = s
+        return (res2 > tol2) & (k < maxiter)
+
+    def body(s):
+        x, r, p, rho, res2, k = s
+        q = sys_mv(p)
+        denom = jnp.vdot(p, q)
+        alpha = jnp.where(denom != 0, rho / jnp.where(
+            denom != 0, denom, 1), 0.0)
+        x = x + alpha * p
+        r = r - alpha * q
+        z = vcycle(r)
+        rho_new = jnp.vdot(r, z)
+        beta = jnp.where(rho != 0, rho_new / jnp.where(
+            rho != 0, rho, 1), 0.0)
+        p = z + beta * p
+        return (x, r, p, rho_new, jnp.vdot(r, r), k + 1)
+
+    s0 = (x0, r, p, rho, res0_2, jnp.asarray(0))
+    x, r, p, rho, res2, k = jax.lax.while_loop(cond, body, s0)
+    return x, k, jnp.sqrt(res0_2), jnp.sqrt(res2)
+
+
 @partial(jax.jit, static_argnames=("shape",))
 def _coarse_apply(S, lam, d, inv_diag, interior_idx, b_idx, shape):
     """DST direct coarse solve: interior nodes exactly, eliminated
@@ -413,6 +575,52 @@ class TpuGMG:
             h_sys = (pk.i(sc), pk.f(sv))
 
         # ---- levels (host side: ELL conversions + handles into the packer)
+        # Per-level operator delta shipping (device path): unchanged level
+        # CSRs (build_gmg's cross-cycle cache returns identical objects, so
+        # _hc_get returns identical cached host ELL arrays) reuse the
+        # previous cycle's DEVICE arrays outright — zero tunnel traffic;
+        # changed levels in the same shape bucket ship only changed rows.
+        # Copy maps (active-set dependent) always re-ship.
+        prev_hl = (getattr(prev, "_h_lvl", None)
+                   if prev is not None
+                   and getattr(prev, "device", None) is device else None)
+        prev_dl = getattr(prev, "_d_lvl", None) if prev_hl else None
+        self._h_lvl = []
+        self._d_lvl = []
+        self._lvl_ship_stats = [0, 0, 0]     # reused, delta, packed
+
+        def _prev_of(l, name):
+            if prev_hl is None or l >= len(prev_hl) or prev_dl is None:
+                return None, None
+            return prev_hl[l].get(name), prev_dl[l].get(name)
+
+        def pair_action(l, name, pair):
+            if pair is None:
+                return None
+            cols, vals = pair
+            ph, pd = _prev_of(l, name)
+            if ph is not None and pd is not None and pd[0] is not None:
+                if ph[0] is cols and ph[1] is vals:
+                    self._lvl_ship_stats[0] += 1
+                    return ("reuse", pd)
+                if ph[0].shape == cols.shape:
+                    changed = np.flatnonzero(
+                        np.any(cols != ph[0], axis=1)
+                        | np.any(vals != ph[1], axis=1))
+                    if len(changed) <= cols.shape[0] // 4:
+                        self._lvl_ship_stats[1] += 1
+                        return ("delta", pd, changed.astype(np.int32),
+                                np.ascontiguousarray(cols[changed]),
+                                np.ascontiguousarray(vals[changed]))
+            self._lvl_ship_stats[2] += 1
+            return ("pack", (pk.i(cols), pk.f(vals)))
+
+        def one_action(l, name, arr):
+            ph, pd = _prev_of(l, name)
+            if ph is not None and pd is not None and ph is arr:
+                return ("reuse1", pd)
+            return ("pack1", pk.f(arr))
+
         level_specs = []
         L = len(gmg.matrices)
         from coulomb_gmg_tpu.ops.spmv import CSR as _CSR
@@ -439,12 +647,14 @@ class TpuGMG:
             inv_diag, ell, lmax = _hc_get(
                 host_cache, A, ("lvl", str(self.np_dtype), have_dst and l == 0),
                 _diag_spec, touched=_hc_touched)
-            h_ell = (pk.i(ell[0]), pk.f(ell[1])) if ell is not None else None
+            hl = {"ell": ell, "inv": inv_diag}
+            a_ell = pair_action(l, "ell", ell)
+            a_inv = one_action(l, "inv", inv_diag)
             lmin = lmax / smoothing_range
             theta = np.asarray(0.5 * (lmax + lmin), self.np_dtype)
             delta = np.asarray(0.5 * (lmax - lmin), self.np_dtype)
 
-            h_if = h_ifT = None
+            a_if = a_ifT = None
             I = gmg.interfaces[l]
             if I is not None:
                 def _if_spec(I=I, nl=nl, nl_pad=nl_pad):
@@ -463,10 +673,12 @@ class TpuGMG:
                 ic, iv, itc, itv = _hc_get(host_cache, I,
                                            ("if", str(self.np_dtype)),
                                            _if_spec, touched=_hc_touched)
-                h_if = (pk.i(ic), pk.f(iv))
-                h_ifT = (pk.i(itc), pk.f(itv))
+                hl["if"] = (ic, iv)
+                hl["ifT"] = (itc, itv)
+                a_if = pair_action(l, "if", (ic, iv))
+                a_ifT = pair_action(l, "ifT", (itc, itv))
 
-            h_p = h_r = None
+            a_p = a_r = None
             P = gmg.prolongations[l]
             if P is not None:
                 nc = gmg.matrices[l - 1].n_rows
@@ -488,14 +700,17 @@ class TpuGMG:
                 pc, pv, rc, rv = _hc_get(host_cache, P,
                                          ("pro", str(self.np_dtype)),
                                          _p_spec, touched=_hc_touched)
-                h_p = (pk.i(pc), pk.f(pv))
-                h_r = (pk.i(rc), pk.f(rv))
+                hl["p"] = (pc, pv)
+                hl["r"] = (rc, rv)
+                a_p = pair_action(l, "p", (pc, pv))
+                a_r = pair_action(l, "r", (rc, rv))
 
+            self._h_lvl.append(hl)
             level_specs.append(dict(
                 n=nl, n_pad=nl_pad,
-                h_ell=h_ell, h_inv=pk.f(inv_diag),
+                a_ell=a_ell, a_inv=a_inv,
                 h_theta=pk.f(theta), h_delta=pk.f(delta),
-                h_if=h_if, h_ifT=h_ifT, h_p=h_p, h_r=h_r,
+                a_if=a_if, a_ifT=a_ifT, a_p=a_p, a_r=a_r,
                 h_cg=pk.i(_pad_idx(gmg.copy_global[l], self.n_pad - 1)),
                 h_cl=pk.i(_pad_idx(gmg.copy_level[l], nl_pad - 1)),
             ))
@@ -540,20 +755,47 @@ class TpuGMG:
 
         if h_sys is not None:
             self.sys_cols, self.sys_vals = v2(h_sys)
+
+        def rp(act):
+            """Resolve a pair action to device (cols, vals)."""
+            if act is None:
+                return (None, None)
+            if act[0] == "pack":
+                return views[act[1][0]], views[act[1][1]]
+            if act[0] == "reuse":
+                return act[1]
+            _, pd, idx, cnew, vnew = act
+            di = jax.device_put(idx, device)
+            return (pd[0].at[di].set(jax.device_put(cnew, device)),
+                    pd[1].at[di].set(jax.device_put(vnew, device)))
+
+        def r1(act):
+            return act[1] if act[0] == "reuse1" else views[act[1]]
+
         self.levels = []
-        for sp in level_specs:
-            ec, ev = v2(sp["h_ell"])
-            ic, iv = v2(sp["h_if"])
-            itc, itv = v2(sp["h_ifT"])
-            pc, pv = v2(sp["h_p"])
-            rc, rv = v2(sp["h_r"])
+        for l, sp in enumerate(level_specs):
+            ec, ev = rp(sp["a_ell"])
+            ic, iv = rp(sp["a_if"])
+            itc, itv = rp(sp["a_ifT"])
+            pc, pv = rp(sp["a_p"])
+            rc, rv = rp(sp["a_r"])
+            inv = r1(sp["a_inv"])
+            self._d_lvl.append({"ell": (ec, ev) if ec is not None else None,
+                                "if": (ic, iv) if ic is not None else None,
+                                "ifT": (itc, itv) if itc is not None else None,
+                                "p": (pc, pv) if pc is not None else None,
+                                "r": (rc, rv) if rc is not None else None,
+                                "inv": inv})
             self.levels.append(_Level(
                 n=sp["n"], n_pad=sp["n_pad"], ecols=ec, evals=ev,
-                inv_diag=v(sp["h_inv"]), theta=v(sp["h_theta"]),
+                inv_diag=inv, theta=v(sp["h_theta"]),
                 delta=v(sp["h_delta"]), if_cols=ic, if_vals=iv,
                 ifT_cols=itc, ifT_vals=itv, p_cols=pc, p_vals=pv,
                 r_cols=rc, r_vals=rv, cg_idx=v(sp["h_cg"]),
                 cl_idx=v(sp["h_cl"])))
+        if self._debug and any(self._lvl_ship_stats):
+            print(f"[tpu_gmg] level ops reused/delta/packed: "
+                  f"{self._lvl_ship_stats}", flush=True)
         if dst_handles is not None:
             self.dst_interior = views[dst_handles[0]]
             self.dst_boundary = views[dst_handles[1]]
@@ -627,15 +869,81 @@ class TpuGMG:
             out = _gather_set(out, lv.cg_idx, sol[l], lv.cl_idx)
         return out
 
+    # ------------------------------------------------------------- fused
+
+    def _fused_tree(self):
+        """Pytree of the device arrays the fused executable reads."""
+        lv_list = []
+        for lv in self.levels:
+            lv_list.append({
+                "A": ((lv.ecols, lv.evals) if lv.ecols is not None
+                      else None),
+                "inv_diag": lv.inv_diag, "theta": lv.theta,
+                "delta": lv.delta,
+                "if": ((lv.if_cols, lv.if_vals) if lv.if_cols is not None
+                       else None),
+                "ifT": ((lv.ifT_cols, lv.ifT_vals)
+                        if lv.ifT_cols is not None else None),
+                "P": ((lv.p_cols, lv.p_vals) if lv.p_cols is not None
+                      else None),
+                "R": ((lv.r_cols, lv.r_vals) if lv.r_cols is not None
+                      else None),
+                "cg": lv.cg_idx, "cl": lv.cl_idx,
+            })
+        tree = {"sys": (self.sys_cols, self.sys_vals), "levels": lv_list,
+                "dst": ((self.dst_S, self.dst_lam, self.dst_interior,
+                         self.dst_boundary) if self.dst is not None
+                        else None)}
+        return tree
+
+    def solve_fused(self, rhs, x0=None, rtol: float = 1e-6,
+                    maxiter: int = 100, abstol: float = 0.0):
+        """Whole-solve-in-one-dispatch CG (see ``_fused_gmg_cg``).  Same
+        contract as ``solve``; ONE executable launch + one result pull —
+        the production path when the solve lives on the accelerator
+        (src/step-50.cc:938-1017)."""
+        import time
+        t_s = time.time()
+        b = np.zeros(self.n_pad, self.np_dtype)
+        b[: self.n] = np.asarray(rhs, self.np_dtype)
+        bj = self._put(b)
+        x = np.zeros(self.n_pad, self.np_dtype)
+        if x0 is not None:
+            x[: self.n] = np.asarray(x0, self.np_dtype)
+        xj = self._put(x)
+        tol = np.asarray(max(rtol * float(np.linalg.norm(b)), abstol),
+                         self.np_dtype)
+        flat, treedef = jax.tree_util.tree_flatten(self._fused_tree())
+        xs, k, res0, res = _fused_gmg_cg(
+            bj, xj, tol, np.asarray(self.coarse_rtol, self.np_dtype), flat,
+            treedef=treedef, degree=self.degree,
+            dst_shape=self.dst_shape if self.dst is not None else None,
+            coarse_maxiter=self.coarse_maxiter, maxiter=maxiter)
+        out = np.asarray(xs)[: self.n]            # one D2H pull
+        k = int(k)
+        if self._debug:
+            print(f"[tpu_gmg] fused solve {k} iters "
+                  f"{time.time() - t_s:.2f}s", flush=True)
+        return out, k, float(res0), float(res)
+
     # ------------------------------------------------------------------ CG
 
     def solve(self, rhs, x0=None, rtol: float = 1e-6, maxiter: int = 100,
-              abstol: float = 0.0):
+              abstol: float = 0.0, fused: Optional[bool] = None):
         """Preconditioned CG; numpy in / numpy out.
 
         Returns (x, iterations, res0, final_res) — the reference's
         ``SolverCG`` contract (tol = rtol * ||rhs||,
-        src/step-50.cc:942-943)."""
+        src/step-50.cc:942-943).
+
+        ``fused=None`` (auto) routes accelerator-resident solves through
+        the single-executable path (``solve_fused``) and keeps the
+        host-orchestrated block-wise CG for host-resident buckets."""
+        if fused is None:
+            fused = self.device is not None
+        if fused:
+            return self.solve_fused(rhs, x0, rtol=rtol, maxiter=maxiter,
+                                    abstol=abstol)
         import time
         t_s = time.time()
         b = np.zeros(self.n_pad, self.np_dtype)
@@ -706,7 +1014,8 @@ class TpuGMG:
 
 def solve_refined(gmg, indptr, indices, data, rhs, x0=None,
                   rtol: float = 1e-8, maxiter: int = 100,
-                  inner_rtol: float = 1e-6, max_passes: int = 4):
+                  inner_rtol: float = 1e-6, max_passes: int = 4,
+                  fused: Optional[bool] = None):
     """Mixed-precision iterative refinement around ``TpuGMG.solve``.
 
     A float32 CG recurrence saturates at a TRUE relative residual of
@@ -743,7 +1052,7 @@ def solve_refined(gmg, indptr, indices, data, rhs, x0=None,
         if rnorm <= tol or total_k >= maxiter or p == max_passes:
             break
         d, k, _, _ = gmg.solve(r64, None, rtol=inner_rtol,
-                               maxiter=maxiter - total_k)
+                               maxiter=maxiter - total_k, fused=fused)
         x64 = x64 + np.asarray(d, np.float64)
         total_k += int(k)
     return x64, total_k, res0, resf

@@ -95,6 +95,30 @@ def main():
         mesh=mesh, in_specs=P("shard"), out_specs=P(), check_rep=False))
     checksum = float(ssum(xb))
 
+    # ---- stage 2: the FULL ShardedGMG (every MG level row-partitioned,
+    # halo all_to_all ghost imports, interface matrices, redundant coarse
+    # solve) across the process boundary — the reference's production mode
+    # runs the whole GMG hierarchy distributed across 5 nodes
+    # (src/step-50.cc:722-731, run.sh:13).  The problem is built
+    # deterministically and replicated per process (host topology work);
+    # only the SOLVE state is distributed.
+    from coulomb_gmg_tpu.config import golden_gaussian_config
+    from coulomb_gmg_tpu.driver import Simulation
+    from coulomb_gmg_tpu.models.atoms import two_atom_pair
+    from coulomb_gmg_tpu.utils.logging import Pcout
+    from coulomb_gmg_tpu.parallel.sharded_gmg import ShardedGMG
+
+    cfg = golden_gaussian_config(n_adaptive_cycles=2, flag_output_time=False,
+                                 mesh_size_h=0.5, vacuum_repetitions=4)
+    sim = Simulation(cfg, atoms=two_atom_pair(), pcout=Pcout(enabled=False))
+    sim.run()
+    rhs = np.asarray(sim.rhs)
+    sg = ShardedGMG(sim.gmg, sim.A, mesh, dtype=sim.dtype, maxiter=50)
+    xg, kg, res0g, resg = sg.solve_global(rhs, rtol=1e-8)
+    gmg_checksum = float(ssum(xg))
+    gmg_local = np.concatenate(
+        [np.asarray(s.data).ravel() for s in xg.addressable_shards])
+
     print(json.dumps({
         "pid": pid,
         "devices": D,
@@ -102,6 +126,10 @@ def main():
         "rel_res": float(res) / float(res0),
         "checksum": checksum,
         "local_norm": float(np.linalg.norm(x_local)),
+        "gmg_iters": int(kg),
+        "gmg_rel_res": float(resg) / max(float(res0g), 1e-300),
+        "gmg_checksum": gmg_checksum,
+        "gmg_local_norm": float(np.linalg.norm(gmg_local)),
     }), flush=True)
 
 

@@ -78,6 +78,48 @@ def test_two_process_solve_converges_identically(worker_results):
     assert a["local_norm"] != b["local_norm"]
 
 
+def test_two_process_sharded_gmg(worker_results):
+    """The FULL GMG hierarchy distributed across the process boundary
+    (halo all_to_all ghost imports, level/interface operators, redundant
+    coarse solve, psum dots) — the reference's 5-node production mode
+    (src/step-50.cc:722-731, run.sh:13).  Both processes must agree on the
+    iteration count and the global checksum while holding different local
+    shards."""
+    a, b = worker_results
+    assert 1 <= a["gmg_iters"] <= 20 and a["gmg_iters"] == b["gmg_iters"]
+    assert a["gmg_rel_res"] <= 1e-8 * 1.01
+    assert a["gmg_checksum"] == b["gmg_checksum"]
+    assert a["gmg_local_norm"] != b["gmg_local_norm"]
+
+
+def test_two_process_gmg_matches_single_process(worker_results):
+    """Process-count invariance for the GMG solve: the 2-process/4-device
+    answer equals the 1-process/4-device answer."""
+    import jax
+    from jax.sharding import Mesh
+    from coulomb_gmg_tpu.config import golden_gaussian_config
+    from coulomb_gmg_tpu.driver import Simulation
+    from coulomb_gmg_tpu.models.atoms import two_atom_pair
+    from coulomb_gmg_tpu.utils.logging import Pcout
+    from coulomb_gmg_tpu.parallel.sharded_gmg import ShardedGMG
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = golden_gaussian_config(n_adaptive_cycles=2, flag_output_time=False,
+                                 mesh_size_h=0.5, vacuum_repetitions=4)
+    sim = Simulation(cfg, atoms=two_atom_pair(), pcout=Pcout(enabled=False))
+    sim.run()
+    rhs = np.asarray(sim.rhs)
+    mesh = Mesh(np.array(devs[:4]), ("shard",))
+    sg = ShardedGMG(sim.gmg, sim.A, mesh, dtype=sim.dtype, maxiter=50)
+    xg, k, _, _ = sg.solve_global(rhs, rtol=1e-8)
+    checksum = float(np.sum(np.asarray(xg) ** 2))
+    a = worker_results[0]
+    assert int(k) == a["gmg_iters"]
+    assert checksum == pytest.approx(a["gmg_checksum"], rel=1e-10)
+
+
 def test_two_process_matches_single_process(worker_results):
     """Process-count invariance: 2-process/4-device answer == 1-process/
     4-device answer (the analogue of diffing mpirun=1 vs mpirun=3 goldens)."""

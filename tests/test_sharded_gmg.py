@@ -57,7 +57,11 @@ def test_sharded_solution_matches_single_device(small_sim):
 
 
 def test_sharded_iteration_count_device_invariant(small_sim):
-    """1-way vs 8-way partitions: identical math -> identical CG counts."""
+    """1-way vs odd/even partitions: identical math -> identical CG counts
+    and matching solutions.  D=3 and D=7 are the analogue of the
+    reference's deliberately non-power-of-2 mpirun=3/7 golden files
+    (tests/CMakeLists.txt:1-7) — they stress the uneven block padding in
+    _block_coo/_block_pairs."""
     from coulomb_gmg_tpu.parallel.sharded_gmg import ShardedGMG
 
     sim = small_sim
@@ -65,13 +69,18 @@ def test_sharded_iteration_count_device_invariant(small_sim):
     if len(devs) < 8:
         pytest.skip("needs 8 virtual devices")
     rhs = np.asarray(sim.rhs)
-    counts = {}
-    for d in (1, 4, 8):
+    counts, sols = {}, {}
+    for d in (1, 3, 4, 7, 8):
         mesh = Mesh(np.array(devs[:d]), ("shard",))
         sg = ShardedGMG(sim.gmg, sim.A, mesh, dtype=sim.dtype, maxiter=50)
-        _, k, _, _ = sg.solve(rhs, rtol=1e-8)
+        x, k, _, _ = sg.solve(rhs, rtol=1e-8)
         counts[d] = k
-    assert counts[1] == counts[4] == counts[8], counts
+        sols[d] = x
+    assert len(set(counts.values())) == 1, counts
+    for d in (3, 4, 7, 8):
+        num = np.linalg.norm(sols[d] - sols[1])
+        den = np.linalg.norm(sols[1])
+        assert num / den < 1e-6, (d, num / den)
 
 
 def test_halo_ghost_import_matches_allgather(small_sim):

@@ -51,3 +51,22 @@ def test_matches_single_device(run8dev):
         assert r8["n_dofs"] == r1["n_dofs"]
         assert r8["l2_rhs"] == pytest.approx(r1["l2_rhs"], rel=1e-10)
         assert r8["l2_sol"] == pytest.approx(r1["l2_sol"], rel=1e-8)
+
+
+@pytest.mark.parametrize("n_dev", [3, 7])
+def test_odd_device_count_trajectory(n_dev, run8dev):
+    """D=3 and D=7 — the analogue of the reference's deliberately
+    non-power-of-2 mpirun=3/7 golden files (tests/CMakeLists.txt:1-7):
+    uneven SFC partitions through the FULL production pipeline must
+    reproduce the same trajectory as D=8 and the published cell counts."""
+    cycles = min(N_CYCLES, 2)
+    cfg = production_scaling_config(1, dtype="float64", n_devices=n_dev,
+                                    n_adaptive_cycles=cycles)
+    sim = Simulation(cfg, atoms=nacl_lattice(1), pcout=Pcout(enabled=False))
+    res = sim.run()
+    assert [r["n_cells"] for r in res] == REF_CELLS_8[:cycles]
+    for r, r8 in zip(res, run8dev):
+        assert r["n_dofs"] == r8["n_dofs"]
+        assert r["l2_rhs"] == pytest.approx(r8["l2_rhs"], rel=1e-10)
+        assert r["l2_sol"] == pytest.approx(r8["l2_sol"], rel=1e-8)
+        assert abs(r["cg_iterations"] - r8["cg_iterations"]) <= 1
