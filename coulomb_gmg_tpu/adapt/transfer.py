@@ -112,3 +112,110 @@ def transfer_cell_mask(old: Forest, new: Forest,
     if omap is None:
         omap = old_cell_of_new(old, new)
     return native.gather_rows(np.ascontiguousarray(mask_old), omap)
+
+
+# ---------------------------------------------------------------------------
+# coarsening transfer (machinery parity with deal.II SolutionTransfer /
+# p4est attach under coarsening — the reference app never flags it,
+# src/step-50.cc:1104-1111)
+# ---------------------------------------------------------------------------
+
+
+def coarsen_map(old: Forest, new: Forest):
+    """Covering map for a pure-coarsening step (new = old.coarsen(...)).
+
+    Returns (surv, merged_new, merged_children):
+      surv:            (n_new,) old index of each surviving new cell, -1
+                       where the new cell is a freshly-created parent
+      merged_new:      (m,) new indices of those parents
+      merged_children: (m, 2^dim) old indices of the children each parent
+                       replaces (deal.II child order: bit d = axis d)
+    """
+    per_level = {}
+    lvl = old.level.astype(np.int64)
+    for l in range(old.n_levels):
+        sel = np.where(lvl == l)[0]
+        ki, order = KeyIndex.with_order(old.level_cell_key(l, old.ijk[sel]))
+        per_level[l] = (ki, sel[order])
+
+    surv = np.full(new.n_cells, -1, dtype=np.int64)
+    nlvl = new.level.astype(np.int64)
+    merged_new, merged_children = [], []
+    off = corner_offsets(old.dim)
+    for l in range(new.n_levels):
+        sel = np.where(nlvl == l)[0]
+        if len(sel) == 0:
+            continue
+        if l in per_level:
+            ki, act = per_level[l]
+            pos = ki.lookup(new.level_cell_key(l, new.ijk[sel]))
+            hit = pos >= 0
+            surv[sel[hit]] = act[pos[hit]]
+            sel = sel[~hit]
+        if len(sel) == 0:
+            continue
+        # fresh parents: their 2^dim children must all exist in old
+        assert (l + 1) in per_level, "coarsened parent without old children"
+        ki, act = per_level[l + 1]
+        ch = (new.ijk[sel][:, None, :] * 2 + off[None, :, :])
+        pos = ki.lookup(old.level_cell_key(l + 1, ch.reshape(-1, old.dim)))
+        assert (pos >= 0).all(), "coarsened parent missing a child"
+        merged_new.append(sel)
+        merged_children.append(act[pos].reshape(len(sel), 2 ** old.dim))
+    cat = lambda xs, w: (np.concatenate(xs) if xs
+                         else np.zeros((0,) + w, dtype=np.int64))
+    return surv, cat(merged_new, ()), cat(merged_children, (2 ** old.dim,))
+
+
+def coarsen_solution(old: Forest, new: Forest, u_old: np.ndarray,
+                     degree: int = 1) -> np.ndarray:
+    """Solution transfer under coarsening: every Q_degree node of the new
+    mesh coincides with a node of the old mesh (children node lattices are
+    2x finer), so deal.II's interpolation (evaluate the old FE function at
+    the new support points) reduces to exact nodal injection by lattice
+    key."""
+    odofs, ndofs = old.dofs_of(degree), new.dofs_of(degree)
+    # node coords in each forest's own degree-lattice; rescale new coords
+    # onto the old (finer or equal) lattice
+    scale = old.fine_side // new.fine_side
+    ncoords = new.nkey_to_coords(ndofs.keys, degree) * scale
+    okeys = old.nkey(ncoords, degree)
+    pos = np.searchsorted(odofs.keys, okeys)
+    pos = np.clip(pos, 0, len(odofs.keys) - 1)
+    assert (odofs.keys[pos] == okeys).all(), \
+        "new node not present in old dof lattice"
+    return np.asarray(u_old)[pos]
+
+
+def coarsen_cell_mask(old: Forest, new: Forest,
+                      mask_old: np.ndarray) -> np.ndarray:
+    """Per-cell data under coarsening: a parent receives the UNION of its
+    children's atom sets (the conservative closure of the support
+    criterion; surviving cells copy).  Works for dense boolean masks
+    (cells, n_atoms) and padded int atom lists (cells, K) with -1 padding;
+    list unions widen K as needed."""
+    surv, mnew, mch = coarsen_map(old, new)
+    mask_old = np.asarray(mask_old)
+    if mask_old.dtype == bool:
+        out = np.zeros((new.n_cells,) + mask_old.shape[1:], dtype=bool)
+        ok = surv >= 0
+        out[ok] = mask_old[surv[ok]]
+        if len(mnew):
+            out[mnew] = mask_old[mch].any(axis=1)
+        return out
+    # padded lists (pad value -1): union per merged group
+    ok = surv >= 0
+    rows = [None] * new.n_cells
+    K = mask_old.shape[1]
+    for i in np.where(ok)[0]:
+        rows[i] = mask_old[surv[i]]
+    K_out = K
+    for j, i in enumerate(mnew):
+        u = np.unique(mask_old[mch[j]])
+        u = u[u >= 0]
+        K_out = max(K_out, len(u))
+        rows[i] = u
+    out = np.full((new.n_cells, K_out), -1, dtype=mask_old.dtype)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+    return out

@@ -114,6 +114,14 @@ class Config:
     # fused whole-solve executable for device-resident solves; False falls
     # back to the host-orchestrated block-wise CG (measurement aid).
     solve_fused: bool = True
+    # Morton-tiled locality density (ops/tile_density.py): dense
+    # (atom x point) tiles over bucket-sorted atom slices on the
+    # accelerator, replacing the gather-bound host list path when the chip
+    # is visible, the run is f32, and the stage is big enough
+    # (density_tiles_min_work pair-evals).  Exact production semantics
+    # (level-0-ancestor membership).  False pins the host list path.
+    density_tiles: bool = True
+    density_tiles_min_work: float = 1e9
     # elastic accelerator demotion: if a hot stage (density / solve /
     # FE-error postprocess) takes longer than this on the accelerator, the
     # shared pool is stalling and subsequent cycles run on the host — same

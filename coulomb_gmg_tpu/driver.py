@@ -251,7 +251,30 @@ class Simulation:
                     self.lists is None and self.mask is None)
                 dens_dev = hot_device(work, floor=1e8 if brute
                                       else HOT_WORK)
-                if self.spmd is not None:
+                # Morton-TILED locality density: the list-path work is
+                # gather-bound and stays on host, but the same stage as
+                # dense bucket-sliced tiles (ops/tile_density.py) is
+                # MXU/VPU food — offload it when the chip is visible and
+                # the stage is big enough.
+                tile_work = (f.n_cells * len(self.tab_rhs.points)
+                             * (self.lists.shape[1] if self.lists is not None
+                                else n_atoms))
+                use_tiles = (cfg.density_tiles and self.spmd is None
+                             and not brute and self.lists is not None
+                             and hot_device(tile_work,
+                                            floor=cfg.density_tiles_min_work)
+                             is not None)
+                if use_tiles:
+                    from coulomb_gmg_tpu.ops.tile_density import (
+                        density_locality_tiles)
+                    self.rho = density_locality_tiles(
+                        f, self.tab_rhs.points, self.atoms.positions,
+                        self.atoms.charges, cfg.r_c,
+                        cfg.nonzero_radius * cfg.r_c,
+                        device=self.tpu_device)
+                    self.maybe_demote(_time.time() - _t0,
+                                      cfg.demote_hot_stage_s, True)
+                elif self.spmd is not None:
                     # device-sharded cell blocks, production kernel math
                     self.rho = self.spmd.density(
                         f, self.tab_rhs.points, self.atoms.positions,

@@ -235,6 +235,68 @@ class Forest:
         return Forest(self.dim, self.base_reps, self.lower, self.h0,
                       level[order].astype(np.int32), ijk[order])
 
+    def coarsen(self, flags: np.ndarray) -> "Forest":
+        """Replace complete flagged sibling groups by their parent — the
+        coarsening half of ``execute_coarsening_and_refinement``
+        (src/step-50.cc:1104-1111; the reference app never flags it, this
+        is machinery parity with deal.II).
+
+        deal.II flag-cleanup semantics: a group coarsens only if ALL
+        ``2^dim`` siblings are active and flagged, and only if the result
+        preserves the 2:1 vertex balance — a group whose parent would
+        touch a remaining active cell two levels deeper is dropped.
+        Levels are processed fine-to-coarse so drops cascade correctly.
+        """
+        flags = np.asarray(flags, dtype=bool)
+        lvl = self.level.astype(np.int64)
+        alive = np.ones(self.n_cells, dtype=bool)
+        added_level: List[np.ndarray] = []
+        added_ijk: List[np.ndarray] = []
+        off = corner_offsets(self.dim)
+        lmax = self.max_level
+        for l in range(lmax, 0, -1):
+            idx = np.where(alive & flags & (lvl == l))[0]
+            if len(idx) == 0:
+                continue
+            parent = self.ijk[idx] // 2
+            pkey = self.level_cell_key(l - 1, parent)
+            uniq, first, inv, counts = np.unique(
+                pkey, return_index=True, return_inverse=True,
+                return_counts=True)
+            complete = counts == 2 ** self.dim
+            if not complete.any():
+                continue
+            # balance: a parent (level l-1) may not touch a REMAINING
+            # active cell at level l+1 (closure level difference 2)
+            bad = np.zeros(len(uniq), dtype=bool)
+            if l + 1 <= lmax:
+                rem = np.where(alive & (lvl == l + 1))[0]
+                if len(rem):
+                    q = self.ijk[rem]
+                    rmin = np.maximum((q - 1) // 4, 0)
+                    rmax = np.minimum((q + 1) // 4, self.side(l - 1) - 1)
+                    cand = (rmin[:, None, :]
+                            + off[None, :, :] * (rmax - rmin)[:, None, :])
+                    keys = self.level_cell_key(l - 1,
+                                               cand.reshape(-1, self.dim))
+                    pos = np.searchsorted(uniq, keys)
+                    pos = np.clip(pos, 0, len(uniq) - 1)
+                    hit = uniq[pos] == keys
+                    bad[pos[hit]] = True
+            accept = complete & ~bad
+            if not accept.any():
+                continue
+            alive[idx[accept[inv]]] = False
+            added_level.append(np.full(accept.sum(), l - 1, dtype=np.int32))
+            added_ijk.append(parent[first[accept]])
+        if not added_level:
+            return self
+        level = np.concatenate([self.level[alive]] + added_level)
+        ijk = np.concatenate([self.ijk[alive]] + added_ijk)
+        order = _canonical_order(self.base_reps, self.dim, level, ijk)
+        return Forest(self.dim, self.base_reps, self.lower, self.h0,
+                      level[order].astype(np.int32), ijk[order])
+
     def balance_flags(self, flags: np.ndarray) -> np.ndarray:
         """Augment refine flags for 2:1 vertex balance.
 

@@ -1,0 +1,295 @@
+"""Locality-list charge density as dense MXU/VPU tiles.
+
+The reference's dominant production cost is the per-quadrature-point
+density over each cell's atom list (7,055 s of the 20,540 s 64k run,
+``SSOR_64k_atoms.o876224:69``; src/step-50.cc:509-575).  The host path
+(ops/density.py:density_from_lists) is gather-bound: ~16 B of list/position
+traffic per ~6 flops.  This module removes the gathers entirely:
+
+* atoms are SORTED BY SPATIAL BUCKET (pitch = cutoff, the same hash as
+  ops/neighbors.py) once per run — z (the least-significant bucket axis)
+  is contiguous, so the atoms near any z-pencil of cells form a few
+  CONTIGUOUS SLICES of the sorted array;
+* cells are grouped into fixed blocks in forest (SFC) order; for each
+  block the candidate-atom slices are found by two vectorized
+  searchsorteds and rounded to atom-tile boundaries;
+* the Pallas kernel walks a flat work-item list ((cell-block, atom-tile)
+  pairs via scalar prefetch — no wasted tiles over vacuum blocks) and
+  evaluates DENSE (atom x point) tiles: explicit per-coordinate
+  differences (exact in f32 for lattice data — no |x|^2+|X|^2-2xX
+  cancellation, no centering needed), the EXACT locality criterion
+  applied in-kernel, and the charge contraction on the MXU.
+
+Exactness of the locality semantics: the production pipeline builds atom
+lists once on the CYCLE-0 (uniform level-0) mesh and children INHERIT the
+parent's list across refinement (src/step-50.cc:441-456).  Every cell's
+cycle-0 ancestor is its LEVEL-0 ancestor, so membership is "atom within
+``cutoff*r_c`` of any vertex of the cell's level-0 ancestor" — evaluated
+here per (cell, atom) pair with the same per-axis-min factorization and
+strict ``<`` as ops/neighbors.py:atom_lists.  For NaCl-lattice data every
+quantity in the test is an exact small multiple of 1/16 well inside f32
+range, so the f32 in-kernel test reproduces the host f64 membership
+bit-for-bit (borderline distances equal to the cutoff occur in these
+lattices and are excluded by both).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from coulomb_gmg_tpu.mesh.forest import Forest
+from coulomb_gmg_tpu.ops.neighbors import build_atom_buckets
+
+
+@dataclass
+class TilePlan:
+    """Host-side work plan for one (forest topology, atom set)."""
+
+    cpb: int                 # cells per block
+    n_q: int
+    p_tile: int
+    a_tile: int
+    nb: int                  # blocks (padded to a pow2 bucket)
+    blk: np.ndarray          # (n_items,) int32 block id per work item
+    atile: np.ndarray        # (n_items,) int32 atom-tile id per work item
+    first: np.ndarray        # (n_items,) int32 1 at each block's first item
+    has_items: np.ndarray    # (nb,) bool
+    cells16: np.ndarray      # (nb*cpb, dim+1) int — ijk + level (padded)
+    at: np.ndarray           # (8, A_pad) f32 sorted coords
+    wt: np.ndarray           # (1, A_pad) f32 sorted charges
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def build_tile_plan(forest: Forest, n_q: int, positions: np.ndarray,
+                    charges: np.ndarray, cutoff: float,
+                    p_tile: int = 512, a_tile: int = 512) -> TilePlan:
+    dim = forest.dim
+    C = forest.n_cells
+    positions = np.asarray(positions, np.float64)
+    A = len(positions)
+    cpb = max(p_tile // n_q, 1)
+    nb = _next_pow2(max((C + cpb - 1) // cpb, 1))
+
+    # ---- sorted atoms (the bucket hash of ops/neighbors.py)
+    pitch = max(cutoff, 1e-12)
+    origin = positions.min(axis=0)
+    order, starts, shape, lo = build_atom_buckets(positions, pitch, origin)
+    borigin = origin + lo * pitch
+    sorted_pos = positions[order]
+    sorted_q = np.asarray(charges, np.float64)[order]
+    A_pad = max(a_tile, ((A + a_tile - 1) // a_tile) * a_tile)
+    at = np.full((8, A_pad), 1.0e6, np.float32)
+    at[:dim, :A] = sorted_pos.T
+    wt = np.zeros((1, A_pad), np.float32)
+    wt[0, :A] = sorted_q
+
+    # ---- per-block bounding boxes of the cells' LEVEL-0 ancestor boxes
+    lvl = forest.level.astype(np.int64)
+    LB = forest.lower + forest.h0 * (forest.ijk >> lvl[:, None])
+    edges = np.arange(0, C, cpb)
+    lo_blk = np.minimum.reduceat(LB, edges, axis=0) - cutoff
+    hi_blk = np.maximum.reduceat(LB, edges, axis=0) + forest.h0 + cutoff
+    nb_real = len(edges)
+
+    # ---- candidate bucket ranges: the last bucket axis is contiguous in
+    # the sorted order, so each (leading-axes combo) gives one slice
+    blo = np.floor((lo_blk - borigin) / pitch).astype(np.int64)
+    bhi = np.floor((hi_blk - borigin) / pitch).astype(np.int64)
+    np.clip(blo, 0, shape - 1, out=blo)
+    np.clip(bhi, 0, shape - 1, out=bhi)
+    spans_lead = np.prod(bhi[:, :-1] - blo[:, :-1] + 1, axis=1)  # leading
+    blk_rep = np.repeat(np.arange(nb_real), spans_lead)
+    base = np.repeat(np.concatenate([[0], np.cumsum(spans_lead)[:-1]]),
+                     spans_lead)
+    local = np.arange(len(blk_rep)) - base
+    lead = np.zeros((len(blk_rep), max(dim - 1, 1)), dtype=np.int64)
+    rem = local
+    for d in range(dim - 2, -1, -1):
+        sp = bhi[blk_rep, d] - blo[blk_rep, d] + 1
+        lead[:, d] = rem % sp
+        rem //= sp
+    # linearized bucket ids of the slice ends (z contiguous)
+    lin_lo = np.zeros(len(blk_rep), dtype=np.int64)
+    for d in range(dim - 1):
+        lin_lo = lin_lo * shape[d] + (blo[blk_rep, d] + lead[:, d])
+    lin_hi = lin_lo * shape[dim - 1] + bhi[blk_rep, dim - 1]
+    lin_lo = lin_lo * shape[dim - 1] + blo[blk_rep, dim - 1]
+    s0 = starts[lin_lo]
+    s1 = starts[lin_hi + 1]
+    keep = s1 > s0
+    blk_rep, s0, s1 = blk_rep[keep], s0[keep], s1[keep]
+
+    # ---- slices -> deduped (block, atom-tile) work items, block-major
+    t0 = s0 // a_tile
+    t1 = (s1 - 1) // a_tile
+    n_t = (t1 - t0 + 1).astype(np.int64)
+    item_blk = np.repeat(blk_rep, n_t)
+    tbase = np.repeat(np.concatenate([[0], np.cumsum(n_t)[:-1]]), n_t)
+    item_tile = np.repeat(t0, n_t) + (np.arange(len(item_blk)) - tbase)
+    pair = item_blk * np.int64(A_pad // a_tile + 1) + item_tile
+    uniq, idx = np.unique(pair, return_index=True)
+    item_blk = item_blk[idx]
+    item_tile = item_tile[idx]
+    o = np.argsort(item_blk, kind="stable")
+    item_blk, item_tile = item_blk[o], item_tile[o]
+    first = np.zeros(len(item_blk), np.int32)
+    if len(item_blk):
+        first[0] = 1
+        first[1:] = (item_blk[1:] != item_blk[:-1]).astype(np.int32)
+    has_items = np.zeros(nb, bool)
+    has_items[item_blk] = True
+
+    # ---- padded integer cell table (pad cells pushed far away)
+    idt = np.int16 if forest.fine_side < 2 ** 14 else np.int32
+    cells16 = np.full((nb * cpb, dim + 1), 0, dtype=idt)
+    cells16[:C, :dim] = forest.ijk.astype(idt)
+    cells16[:C, dim] = forest.level.astype(idt)
+    cells16[C:, :dim] = np.iinfo(idt).max // 2   # far away -> masked out
+    return TilePlan(cpb=cpb, n_q=n_q, p_tile=p_tile, a_tile=a_tile, nb=nb,
+                    blk=item_blk.astype(np.int32),
+                    atile=item_tile.astype(np.int32), first=first,
+                    has_items=has_items, cells16=cells16, at=at, wt=wt)
+
+
+# ---------------------------------------------------------------------------
+# device side
+# ---------------------------------------------------------------------------
+
+
+def _tile_kernel(blk_ref, atile_ref, first_ref, g_ref, a_ref, w_ref, o_ref,
+                 *, dim, inv_rc2, cut2, h0):
+    import jax.experimental.pallas as pl
+
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    G = g_ref[:]                                   # (8, P) pts + ancestors
+    X = a_ref[:]                                   # (8, A) sorted atoms
+    w = w_ref[:]                                   # (1, A) charges
+    r2 = None
+    m2 = None
+    for d in range(dim):
+        Xd = X[d][:, None]                         # (A, 1)
+        dd = Xd - G[d][None, :]                    # (A, P) exact diff
+        r2 = dd * dd if r2 is None else r2 + dd * dd
+        dlo = Xd - G[3 + d][None, :]               # to ancestor lower
+        dhi = dlo - h0
+        m = jnp.minimum(dlo * dlo, dhi * dhi)
+        m2 = m if m2 is None else m2 + m
+    e = jnp.exp(-r2 * inv_rc2) * (m2 < cut2).astype(jnp.float32)
+    o_ref[:] += jax.lax.dot_general(
+        w, e, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)       # (1, P) on MXU
+
+
+@partial(jax.jit, static_argnames=("dim", "n_q", "cpb", "p_tile", "h0",
+                                   "lower0"))
+def _build_geom(cells16, pref, dim, n_q, cpb, p_tile, h0, lower0):
+    """(8, nb*p_tile) geometry table on device: rows 0..dim-1 = quadrature
+    point coords, rows 3..3+dim-1 = level-0 ancestor lower corner.  Built
+    from the shipped integer cell table (int16/int32 — 4x less H2D than
+    floats; exact f32 reconstruction: products of small ints with
+    pow2-scaled h0)."""
+    n_pad = cells16.shape[0]
+    ijk = cells16[:, :dim].astype(jnp.float32)
+    lev = cells16[:, dim].astype(jnp.int32)
+    scale = (h0 * jnp.exp2(-lev.astype(jnp.float32)))[:, None]
+    lower = jnp.asarray(lower0, jnp.float32) + ijk * scale
+    anc = (cells16[:, :dim].astype(jnp.int32) >> lev[:, None]).astype(
+        jnp.float32)
+    LB = jnp.asarray(lower0, jnp.float32) + anc * h0
+    pts = (lower[:, None, :]
+           + scale[:, None] * pref[None, :, :])    # (n_pad, n_q, dim)
+    LBq = jnp.broadcast_to(LB[:, None, :], (n_pad, n_q, dim))
+    g = jnp.concatenate([pts, LBq], axis=2)        # (n_pad, n_q, 2*dim)
+    nb = n_pad // cpb
+    g = g.reshape(nb, cpb * n_q, 2 * dim)
+    g = jnp.pad(g, ((0, 0), (0, p_tile - cpb * n_q), (0, 0)),
+                constant_values=1.0e6)
+    g = g.reshape(nb * p_tile, 2 * dim).T          # (2*dim, nb*p_tile)
+    out = jnp.zeros((8, g.shape[1]), jnp.float32)
+    out = out.at[:dim].set(g[:dim])
+    out = out.at[3:3 + dim].set(g[dim:])
+    return out
+
+
+@partial(jax.jit, static_argnames=("dim", "n_items", "p_tile", "a_tile",
+                                   "r_c", "cut", "h0", "interpret"))
+def _tile_call(blk, atile, first, G, at, wt, dim, n_items, p_tile, a_tile,
+               r_c, cut, h0, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kern = partial(_tile_kernel, dim=dim, inv_rc2=1.0 / (r_c * r_c),
+                   cut2=cut * cut, h0=h0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_items,),
+        in_specs=[
+            pl.BlockSpec((8, p_tile), lambda t, b, a, f: (0, b[t])),
+            pl.BlockSpec((8, a_tile), lambda t, b, a, f: (0, a[t])),
+            pl.BlockSpec((1, a_tile), lambda t, b, a, f: (0, a[t])),
+        ],
+        out_specs=pl.BlockSpec((1, p_tile), lambda t, b, a, f: (0, b[t])),
+    )
+    out = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, G.shape[1]), jnp.float32),
+        interpret=interpret,
+    )(blk, atile, first, G, at, wt)
+    return out[0]
+
+
+def density_locality_tiles(forest: Forest, points_ref: np.ndarray,
+                           positions: np.ndarray, charges: np.ndarray,
+                           r_c: float, cutoff: float,
+                           device=None, interpret: bool = False,
+                           p_tile: int = 512, a_tile: int = 512,
+                           plan: Optional[TilePlan] = None) -> np.ndarray:
+    """rho~ per (cell, reference quadrature point), (n_cells, n_q) f32,
+    with the 4*pi normalization (src/step-50.cc:553-560) and the EXACT
+    production locality semantics (see module docstring).  ``plan`` may be
+    passed in when reusing a topology (e.g. measurement loops)."""
+    dim = forest.dim
+    pref = np.asarray(points_ref, np.float32)
+    n_q = len(pref)
+    if plan is None:
+        plan = build_tile_plan(forest, n_q, positions, charges, cutoff,
+                               p_tile=p_tile, a_tile=a_tile)
+    C = forest.n_cells
+    if len(plan.blk) == 0:
+        return np.zeros((C, n_q), np.float32)
+    if device is None or getattr(device, "platform", "cpu") == "cpu":
+        interpret = True     # Mosaic is TPU-only; CPU runs interpret mode
+    put = (lambda a: jax.device_put(jnp.asarray(a), device)) \
+        if device is not None else jnp.asarray
+    G = _build_geom(put(plan.cells16), put(pref), dim=dim, n_q=n_q,
+                    cpb=plan.cpb, p_tile=plan.p_tile, h0=float(forest.h0),
+                    lower0=tuple(float(x) for x in forest.lower))
+    out = _tile_call(put(plan.blk), put(plan.atile), put(plan.first),
+                     G, put(plan.at), put(plan.wt),
+                     dim=dim, n_items=len(plan.blk), p_tile=plan.p_tile,
+                     a_tile=plan.a_tile, r_c=float(r_c), cut=float(cutoff),
+                     h0=float(forest.h0), interpret=interpret)
+    rho = np.array(out).reshape(plan.nb, plan.p_tile)
+    rho = np.ascontiguousarray(rho[:, : plan.cpb * n_q])
+    rho[~plan.has_items] = 0.0                     # blocks never visited
+    rho = rho.reshape(plan.nb * plan.cpb, n_q)[:C]
+    const = 4.0 * np.pi / (r_c ** 3 * np.pi ** 1.5)   # as ops/density.py
+    return (const * rho).astype(np.float32)
