@@ -145,21 +145,100 @@ def main():
     report("enorm_loop_production_hot", n_pad * n_q * Ap, min(times),
            {"n_chunks": args.chunks, "includes": "einsum+pts+reduction"})
 
-    # ---- 3. density Pallas kernel (ops/pallas_density.py), same shapes
-    try:
-        from coulomb_gmg_tpu.ops.pallas_density import _density_call
-        float(_density_call(ptd, atd, qtd, r_c, 512, 512, False).sum())
+    # ---- 3. density Pallas kernel (ops/pallas_density.py).  Measured
+    # CHAINED exactly like the gradient kernel — the round-3 0.23
+    # VPU-peak figure was taken with sequential dispatches, which bills
+    # the tunnel's inter-dispatch gaps to the kernel.  A tile sweep shows
+    # whether layout, not dispatch, sets the ceiling.
+    from coulomb_gmg_tpu.ops.pallas_density import _density_call
+
+    for (ptile, atile) in ((512, 512), (1024, 512), (512, 1024),
+                           (1024, 1024), (2048, 2048)):
+        if P % ptile or Ap % atile:
+            continue
+
+        @jax.jit
+        def dchain(pt0, at0, qt0, n, ptile=ptile, atile=atile):
+            def body(i, p):
+                g = _density_call(p, at0, qt0, r_c, ptile, atile, False)
+                return p + 1e-30 * g[None, :]
+            return jax.lax.fori_loop(0, n, body, pt0)
+
+        float(dchain(ptd, atd, qtd, iters).sum())    # compile + warm
         t0 = time.time()
-        n_rep = 4
-        acc = None
-        for _ in range(n_rep):
-            g = _density_call(ptd, atd, qtd, r_c, 512, 512, False)
-            acc = g if acc is None else acc + g
-        float(acc.sum())                       # one scalar pull at the end
-        report("density_standalone_hot", P * Ap * n_rep, time.time() - t0,
-               {"note": "sequential dispatches (no chain)"})
-    except ImportError:
-        pass
+        float(dchain(ptd, atd, qtd, iters).sum())
+        report("density_chained_hot", P * Ap * iters, time.time() - t0,
+               {"p_tile": ptile, "a_tile": atile})
+
+    # ---- 4. Morton-tiled locality density kernel (ops/tile_density.py):
+    # dense work-item tiles, chained through the geometry table
+    from coulomb_gmg_tpu.ops.tile_density import _tile_call
+    nb = P // 512
+    n_items = nb * (Ap // 512)                  # dense: every (blk, tile)
+    blk = np.repeat(np.arange(nb, dtype=np.int32), Ap // 512)
+    atile_ids = np.tile(np.arange(Ap // 512, dtype=np.int32), nb)
+    first = np.zeros(n_items, np.int32)
+    first[::Ap // 512] = 1
+    G = np.zeros((8, P), np.float32)
+    G[:3] = pt[:3]
+    G[3:6] = pt[:3]
+    blkd, atiled, firstd, Gd = (jax.device_put(x, dev)
+                                for x in (blk, atile_ids, first, G))
+
+    @jax.jit
+    def tchain(G0, n):
+        def body(i, g):
+            o = _tile_call(blkd, atiled, firstd, g, atd, qtd, 3, n_items,
+                           512, 512, r_c, 1.75, 0.5, False)
+            return g + 1e-30 * o[None, :]
+        return jax.lax.fori_loop(0, n, body, G0)
+
+    float(tchain(Gd, iters).sum())
+    t0 = time.time()
+    float(tchain(Gd, iters).sum())
+    report("tile_density_chained_hot", P * Ap * iters, time.time() - t0,
+           {"note": "incl. in-kernel membership mask (~2x radial work)"})
+
+    # ---- 5. per-op VPU microbench: what actually sets the ~0.35-0.4
+    # ceiling.  Each op runs as a chained elementwise loop on a
+    # (512, 4096) f32 tile; throughput in Gop/s vs the 3.9 TFLOP/s
+    # nominal VPU peak (1 flop/lane/cycle/ALU accounting).  The radial
+    # chain's cost model follows: pairs/s = 1 / sum(count_i / rate_i).
+    tile = jax.device_put(
+        rng.uniform(0.5, 2.0, (512, 4096)).astype(np.float32), dev)
+    n_el = tile.size
+
+    def op_rate(name, fn, reps=64):
+        @jax.jit
+        def loop(x, n):
+            def body(i, v):
+                return fn(v) * 0.999 + 1e-9
+            return jax.lax.fori_loop(0, n, body, x)
+        float(loop(tile, reps).sum())
+        t0 = time.time()
+        float(loop(tile, reps).sum())
+        dt = time.time() - t0
+        gops = n_el * reps / dt / 1e9
+        print(json.dumps({"vpu_op": name, "gops_per_s": round(gops, 1),
+                          "frac_of_3.9T": round(gops * 1e9 / V5E_PEAK_VPU_F32,
+                                                3)}), flush=True)
+        return gops
+
+    r_fma = op_rate("fma (x*a+b)", lambda v: v * 1.0001 + 0.1)
+    r_exp = op_rate("exp", jnp.exp)
+    r_rsqrt = op_rate("rsqrt", jax.lax.rsqrt)
+    import jax.scipy.special as jsp
+    r_erf = op_rate("erf", jsp.erf)
+    # density radial chain per pair: ~6 fma (distance expansion + axpy)
+    # + 1 exp; gradient chain adds rsqrt + erf
+    pred_density = 1.0 / (6 / r_fma + 1 / r_exp)
+    pred_grad = 1.0 / (8 / r_fma + 1 / r_exp + 1 / r_rsqrt + 1 / r_erf)
+    print(json.dumps({"model": "predicted_gpairs_from_op_mix",
+                      "density": round(pred_density, 1),
+                      "gradient": round(pred_grad, 1),
+                      "note": "ceiling set by transcendental throughput, "
+                              "not the 25-flop nominal accounting"}),
+          flush=True)
     return 0
 
 

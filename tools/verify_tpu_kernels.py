@@ -119,6 +119,68 @@ def main():
     if rel3 >= 2e-3:
         return 1
 
+    # ---- Morton-tiled locality density (ops/tile_density.py): compiled
+    # Mosaic lowering of the scalar-prefetch ragged kernel vs the host
+    # list path (exact membership semantics)
+    from coulomb_gmg_tpu.models.atoms import nacl_lattice
+    from coulomb_gmg_tpu.ops.neighbors import atom_lists
+    from coulomb_gmg_tpu.ops.tile_density import density_locality_tiles
+    atoms = nacl_lattice(2)
+    cut = 3.5 * r_c
+    a0 = 0.5
+    ft = Forest.uniform(3, int(round(2 * (2 / a0 + 4))), np.full(3, -1.0),
+                        0.25)
+    lists, _ = atom_lists(ft, atoms.positions, cut)
+    rho_host = np.asarray(compute_density(
+        ft, tab.points, atoms.positions, atoms.charges, r_c, lists=lists,
+        dtype=np.float32))
+    t0 = time.time()
+    rho_tile = density_locality_tiles(ft, tab.points, atoms.positions,
+                                      atoms.charges, r_c, cut, device=dev)
+    t_tile = time.time() - t0
+    rel4 = float(np.max(np.abs(rho_tile - rho_host))
+                 / (np.max(np.abs(rho_host)) + 1e-30))
+    emit({"check": "tile_density_compiled", "rel_err": rel4,
+          "pass": rel4 < 1e-4, "wall_s": round(t_tile, 2),
+          "cells": ft.n_cells, "atoms": atoms.n})
+    if rel4 >= 1e-4:
+        return 1
+
+    # ---- fused single-executable GMG-CG (solver/tpu_gmg.py:_fused_gmg_cg)
+    # on-chip vs the host block-wise solve: same operators, same counts
+    from coulomb_gmg_tpu.config import golden_gaussian_config
+    from coulomb_gmg_tpu.driver import Simulation
+    from coulomb_gmg_tpu.models.atoms import two_atom_pair
+    from coulomb_gmg_tpu.utils.logging import Pcout
+    from coulomb_gmg_tpu.solver.tpu_gmg import TpuGMG
+    cfgf = golden_gaussian_config(n_adaptive_cycles=2, flag_output_time=False,
+                                  mesh_size_h=0.5, vacuum_repetitions=4,
+                                  dtype="float32")
+    simf = Simulation(cfgf, atoms=two_atom_pair(), pcout=Pcout(enabled=False))
+    simf.run()
+    rhsf = np.asarray(simf.rhs)
+    gh = TpuGMG(simf.gmg, simf.A, simf.forest, device=None,
+                dtype=jnp.float32)
+    x_h, k_h, _, _ = gh.solve(rhsf, rtol=1e-6, fused=False)
+    gd = TpuGMG(simf.gmg, simf.A, simf.forest, device=dev,
+                dtype=jnp.float32)
+    t0 = time.time()
+    x_d, k_d, _, res_d = gd.solve_fused(rhsf, rtol=1e-6)
+    t_fused = time.time() - t0
+    t0 = time.time()
+    x_d2, k_d2, _, _ = gd.solve_fused(rhsf, rtol=1e-6)
+    t_fused_hot = time.time() - t0
+    bn = float(np.linalg.norm(rhsf))
+    rel5 = float(np.linalg.norm(x_d - x_h) / (np.linalg.norm(x_h) + 1e-30))
+    emit({"check": "fused_gmg_cg_compiled", "iters_host": int(k_h),
+          "iters_dev": int(k_d), "rel_diff": rel5,
+          "pass": bool(abs(k_d - k_h) <= 1 and rel5 < 1e-3
+                       and res_d <= 1e-6 * bn * 1.05),
+          "first_call_s": round(t_fused, 1),
+          "hot_solve_s": round(t_fused_hot, 3), "n_dofs": simf.A.n_rows})
+    if not rows[-1]["pass"]:
+        return 1
+
     # ---- head-to-head: pallas MXU distance-matrix vs jnp dense (what XLA
     # makes of the same math) at three atom counts, fixed point count
     def timeit_pull(fn, iters=8):
