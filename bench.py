@@ -63,10 +63,10 @@ REF_CELLS = {                  # Plotting/ncells_per_atom.dat:6-12
     8000:  [512000, 512560, 523592, 543024, 576428],
     64000: [1728000, 1728560, 1749672, 1785904, 1849296],
 }
-# measured host-f64 walls on this box (PERF.md): the floor the TPU run
-# must clearly beat for the host confirmation run to be skipped
-HOST_FLOOR = {8: 19.0, 216: 37.0, 1000: 48.0, 2744: 61.0, 8000: 131.0,
-              64000: 466.0}
+# measured host-f64 walls on this box (PERF.md, round 4): the floor the
+# TPU run must clearly beat for the host confirmation run to be skipped
+HOST_FLOOR = {8: 19.0, 216: 37.0, 1000: 48.0, 2744: 54.0, 8000: 72.0,
+              64000: 308.0}
 PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_BUDGET_S", "150"))
 PROBE_HEALTHY_S = float(os.environ.get("BENCH_PROBE_HEALTHY_S", "2"))
 PROBE_ATTEMPTS = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))

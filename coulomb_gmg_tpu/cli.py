@@ -33,6 +33,11 @@ def main(argv=None):
     ap.add_argument("--distributed", action="store_true",
                     help="initialize jax.distributed for multi-host meshes "
                          "(coordinator/process env via JAX conventions)")
+    ap.add_argument("--no-fused-solve", action="store_true",
+                    help="disable the fused single-executable GMG-CG for "
+                         "device-resident solves (measurement aid)")
+    ap.add_argument("--no-density-tiles", action="store_true",
+                    help="pin the locality density to the host list path")
     args = ap.parse_args(argv)
 
     if args.distributed:
@@ -57,6 +62,10 @@ def main(argv=None):
     if not args.cpu:
         overrides.setdefault("dtype", "float32")
         overrides.setdefault("smoother", "mc_ssor")
+    if args.no_fused_solve:
+        overrides["solve_fused"] = False
+    if args.no_density_tiles:
+        overrides["density_tiles"] = False
     cfg = load_prm(args.prm, **overrides)
 
     from contextlib import nullcontext
