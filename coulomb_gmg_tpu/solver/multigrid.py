@@ -196,15 +196,25 @@ class GMGPreconditioner:
         return out
 
 
-def _level_signature(ld: LevelDofs) -> tuple:
+def _level_signature(forest: Forest, ld: LevelDofs) -> tuple:
     """Cheap content key for level-operator caching: the level matrix,
     interface matrix, and smoother depend only on the level MESH and its
     constrained sets — not on which level cells are active.  Levels stop
     changing once refinement moves past them, so operators are reused
-    across adaptive cycles."""
+    across adaptive cycles.
+
+    The hash uses LEVEL-LOCAL node coordinates (finest-lattice coords
+    shifted down by max_level - level): raw ``ld.keys`` are linearized on
+    the FINEST lattice, whose pitch doubles whenever refinement deepens
+    the tree, which used to invalidate every signature — including the
+    huge, genuinely-unchanged level-0 operator — on every cycle that
+    added a level.  The cached values stay valid across that shift:
+    level-dof numbering is key-sorted and the shift is order-preserving."""
     import hashlib
+    coords = forest.nkey_to_coords(ld.keys, ld.degree)
+    coords = coords >> (forest.max_level - ld.level)
     h = hashlib.sha1()
-    h.update(np.ascontiguousarray(ld.keys))
+    h.update(np.ascontiguousarray(coords))
     h.update(np.ascontiguousarray(ld.interface))
     return (ld.level, ld.n_dofs, len(ld.cell2dof), h.hexdigest())
 
@@ -227,7 +237,7 @@ def build_gmg(forest: Forest, dofs: DofInfo, tables, coeff_fn=None,
     matrices, interfaces, prolongs, smoothers = [], [], [], []
     copy_global, copy_level = [], []
     kidx_keys = dofs.keys
-    sigs = [_level_signature(ld) if cache is not None else None
+    sigs = [_level_signature(forest, ld) if cache is not None else None
             for ld in dofs.levels]
 
     for l, ld in enumerate(dofs.levels):

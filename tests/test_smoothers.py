@@ -98,3 +98,48 @@ def test_mc_ssor_gmg_iteration_parity():
         assert abs(r_mc["cg_iterations"] - r_ss["cg_iterations"]) <= 2
         assert r_mc["n_cells"] == r_ss["n_cells"]
         assert r_mc["l2_sol"] == pytest.approx(r_ss["l2_sol"], rel=1e-6)
+
+
+def test_gmg_level_cache_survives_max_level_growth():
+    """The level-operator cache key is max_level-invariant: after a
+    refinement that deepens the tree, unchanged levels reuse their cached
+    operators, and the reused operators EQUAL a from-scratch rebuild."""
+    import jax.numpy as jnp
+    from coulomb_gmg_tpu.mesh.forest import Forest
+    from coulomb_gmg_tpu.ops.q1 import element_tables
+    from coulomb_gmg_tpu.solver.multigrid import build_gmg
+
+    f0 = Forest.uniform(3, 4, np.zeros(3), 0.25)
+    tab = element_tables(3, 1, 2)
+    cache = {}
+    g0 = build_gmg(f0, f0.dofs_of(1), tab, smoother="none",
+                   dtype=jnp.float64, cache=cache)
+    A0 = g0.matrices[0]
+    flags = np.zeros(f0.n_cells, bool)
+    flags[:2] = True
+    f1 = f0.refine(flags)                       # max_level 0 -> 1
+    g1 = build_gmg(f1, f1.dofs_of(1), tab, smoother="none",
+                   dtype=jnp.float64, cache=cache)
+    # level 0 reused: same object
+    assert g1.matrices[0] is A0
+    # and equal to a cold rebuild
+    g1f = build_gmg(f1, f1.dofs_of(1), tab, smoother="none",
+                    dtype=jnp.float64, cache=None)
+    for Ac, Af in zip(g1.matrices, g1f.matrices):
+        np.testing.assert_array_equal(np.asarray(Ac.indices),
+                                      np.asarray(Af.indices))
+        np.testing.assert_allclose(np.asarray(Ac.data),
+                                   np.asarray(Af.data), rtol=0, atol=0)
+    flags = np.zeros(f1.n_cells, bool)
+    flags[np.where(f1.level == 1)[0][:1]] = True
+    f2 = f1.refine(flags)                       # max_level 1 -> 2
+    g2 = build_gmg(f2, f2.dofs_of(1), tab, smoother="none",
+                   dtype=jnp.float64, cache=cache)
+    assert g2.matrices[0] is A0                 # still cached
+    g2f = build_gmg(f2, f2.dofs_of(1), tab, smoother="none",
+                    dtype=jnp.float64, cache=None)
+    for Ac, Af in zip(g2.matrices, g2f.matrices):
+        np.testing.assert_array_equal(np.asarray(Ac.indices),
+                                      np.asarray(Af.indices))
+        np.testing.assert_allclose(np.asarray(Ac.data),
+                                   np.asarray(Af.data), rtol=0, atol=0)
