@@ -28,12 +28,14 @@ The orchestrator
 
 Backends:
 
-* TPU-hybrid (float32): host topology/assembly, FUSED single-executable
-  GMG-CG on-chip (solver/tpu_gmg.py:_fused_gmg_cg) under mixed-precision
-  iterative refinement (f64 defect on host — true 1e-8*||b|| residuals),
-  PLUS the FE energy-norm postprocess on-chip — a stage the reference's
-  production run did not attempt (its logs print no "energy norm" lines).
-  The wall time therefore bounds the reference workload FROM ABOVE.
+* TPU-hybrid (float32): the EXACT reference workload — host
+  topology/assembly, Morton-tiled locality density on-chip
+  (ops/tile_density.py), FUSED single-executable GMG-CG on-chip
+  (solver/tpu_gmg.py:_fused_gmg_cg) under mixed-precision iterative
+  refinement (f64 defect on host — true 1e-8*||b|| residuals).  The FE
+  energy-norm postprocess (not part of the published production workload;
+  its logs print no "energy norm" lines) is exercised separately
+  (tests, tools/roofline.py) — BENCH_FE=1 adds it back.
 * host (float64): the exact reference workload on the host backend
   through the bucket-cached solver executables.
 
@@ -142,12 +144,13 @@ def run_one(on_tpu: bool, n: int) -> dict:
 
     atoms = nacl_lattice(n)
     if on_tpu:
-        # hybrid: host topology/assembly, fused on-chip IR solve (true
-        # 1e-8), FE-error postprocess on-chip — MORE work per cycle than
-        # the baseline did
+        # hybrid: host topology/assembly, tiled density + fused IR solve
+        # on-chip (true 1e-8) — the exact reference workload.
+        # BENCH_FE=1 adds the on-chip FE energy-norm postprocess (extra
+        # physics the baseline never ran).
         cfg = production_scaling_config(
             n, dtype="float32", solver_backend="tpu_cg",
-            flag_postprocess_error=True)
+            flag_postprocess_error=bool(os.environ.get("BENCH_FE")))
     else:
         # the exact reference workload, full float64.  tpu_cg names the
         # BUCKET-CACHED solver (solver/tpu_gmg.py) — on the host backend it
@@ -170,12 +173,11 @@ def run_one(on_tpu: bool, n: int) -> dict:
     ok = (cells == REF_CELLS.get(n_atoms, cells)
           and all(1 <= k <= 20 for k in cg))
     fe = results[-1].get("energy_norm_error")
-    if on_tpu:
+    if on_tpu and fe is not None:
         # the energy-norm error is an UNNORMALIZED sum over cells — it
         # grows ~sqrt(n_atoms) (0.60 measured at 8,000 atoms); the gate
         # rejects NaN/garbage, not legitimate scale growth
-        ok = (ok and fe is not None and fe == fe
-              and 0.0 < fe < 0.03 * n_atoms ** 0.5)
+        ok = (ok and fe == fe and 0.0 < fe < 0.03 * n_atoms ** 0.5)
     return {"backend": "tpu" if on_tpu else "host", "wall": wall,
             "ok": bool(ok), "cells": cells, "cg": cg, "fe": fe}
 
