@@ -206,15 +206,21 @@ def main():
         pt[0, P:] = 1e6
         at = np.zeros((8, Ap), np.float32); at[:3, :A] = posA.T
         qt = np.zeros((1, Ap), np.float32); qt[0, :A] = qA
-        ptd, atd, qtd = map(jnp.asarray, (pt, at, qt))
+        # the fused-solve check above constructs a Simulation, which pins
+        # jax_default_device to host CPU (driver.py:105) — commit the
+        # head-to-head inputs to the chip explicitly
+        ptd, atd, qtd = (jax.device_put(a, dev) for a in (pt, at, qt))
         t_pal = timeit_pull(lambda: _density_call(
             ptd, atd, qtd, float(r_c), p_tile, a_tile, False))
 
-        pj = jnp.asarray(ptsP)
-        aj = jnp.asarray(posA)
-        qj = jnp.asarray(qA)
-        cd = jax.jit(lambda: charge_density(pj, aj, qj, r_c))
-        t_jnp = timeit_pull(lambda: cd())
+        pj = jax.device_put(jnp.asarray(ptsP), dev)
+        aj = jax.device_put(jnp.asarray(posA), dev)
+        qj = jax.device_put(jnp.asarray(qA), dev)
+        # pass arrays as ARGUMENTS: a zero-arg jit closure places the
+        # computation on jax_default_device (host CPU once a Simulation has
+        # been constructed) regardless of where the constants live
+        cd = jax.jit(lambda p, a, q: charge_density(p, a, q, r_c))
+        t_jnp = timeit_pull(lambda: cd(pj, aj, qj))
 
         pairs = P * A
         emit({"bench": "density", "atoms": A, "points": P,
