@@ -168,13 +168,20 @@ def build_tile_plan(forest: Forest, n_q: int, positions: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _tile_kernel(blk_ref, atile_ref, first_ref, g_ref, a_ref, w_ref, o_ref,
+def _tile_kernel(pk_ref, g_ref, a_ref, w_ref, o_ref,
                  *, dim, inv_rc2, cut2, h0):
     import jax.experimental.pallas as pl
 
     t = pl.program_id(0)
+    # first-item-of-block flag derived in-kernel from the packed work list
+    # (top bits = block id): t == 0 or a block-id change.  Keeping it out
+    # of SMEM matters — the prefetch lists ARE the SMEM budget (1 MB on
+    # v5e; three s32[186k] lists at 64k atoms = 2.15 MB, which is how the
+    # original three-list layout died in compile).
+    cur = pk_ref[t] >> 12
+    prev = pk_ref[jnp.maximum(t - 1, 0)] >> 12
 
-    @pl.when(first_ref[t] == 1)
+    @pl.when(jnp.logical_or(t == 0, cur != prev))
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
 
@@ -229,31 +236,103 @@ def _build_geom(cells16, pref, dim, n_q, cpb, p_tile, h0, lower0):
     return out
 
 
-@partial(jax.jit, static_argnames=("dim", "n_items", "p_tile", "a_tile",
-                                   "r_c", "cut", "h0", "interpret"))
-def _tile_call(blk, atile, first, G, at, wt, dim, n_items, p_tile, a_tile,
-               r_c, cut, h0, interpret):
+# SMEM on v5e is 1 MB total and the scalar-prefetch work list lives there:
+# cap one kernel launch at this many packed int32 items (640 KB) and chunk
+# longer lists at block boundaries (device-side accumulation, one jit).
+SMEM_ITEM_BUDGET = 160_000
+
+
+def _pack_items(blk: np.ndarray, atile: np.ndarray) -> np.ndarray:
+    """One s32 per work item: (block id << 12) | atom-tile id."""
+    if len(atile) and int(atile.max()) >= 1 << 12:
+        raise ValueError("atom-tile id overflows the 12-bit pack "
+                         "(>= 2M atoms at a_tile=512): raise a_tile")
+    if len(blk) and int(blk.max()) >= 1 << 19:
+        raise ValueError("block id overflows the 19-bit pack "
+                         "(>= 268M padded points at p_tile=512)")
+    return ((blk.astype(np.int64) << 12)
+            | atile.astype(np.int64)).astype(np.int32)
+
+
+def _chunk_bounds(blk: np.ndarray, first: np.ndarray,
+                  budget: int) -> list:
+    """Split the block-major work list into item ranges of <= budget items,
+    cutting ONLY at block boundaries (so every block's accumulation lives
+    in exactly one kernel launch)."""
+    n = len(blk)
+    if n <= budget:
+        return [(0, n)]
+    starts = np.flatnonzero(first)
+    bounds = []
+    i0 = 0
+    while i0 < n:
+        if n - i0 <= budget:
+            bounds.append((i0, n))
+            break
+        j = int(np.searchsorted(starts, i0 + budget, side="right")) - 1
+        i1 = int(starts[j])
+        if i1 <= i0:
+            raise ValueError("single block exceeds the SMEM item budget")
+        bounds.append((i0, i1))
+        i0 = i1
+    return bounds
+
+
+def _pallas_tiles(packed, G, at, wt, *, dim, n_items, p_tile, a_tile,
+                  r_c, cut, h0, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     kern = partial(_tile_kernel, dim=dim, inv_rc2=1.0 / (r_c * r_c),
                    cut2=cut * cut, h0=h0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(n_items,),
         in_specs=[
-            pl.BlockSpec((8, p_tile), lambda t, b, a, f: (0, b[t])),
-            pl.BlockSpec((8, a_tile), lambda t, b, a, f: (0, a[t])),
-            pl.BlockSpec((1, a_tile), lambda t, b, a, f: (0, a[t])),
+            pl.BlockSpec((8, p_tile), lambda t, p: (0, p[t] >> 12)),
+            pl.BlockSpec((8, a_tile), lambda t, p: (0, p[t] & 4095)),
+            pl.BlockSpec((1, a_tile), lambda t, p: (0, p[t] & 4095)),
         ],
-        out_specs=pl.BlockSpec((1, p_tile), lambda t, b, a, f: (0, b[t])),
+        out_specs=pl.BlockSpec((1, p_tile), lambda t, p: (0, p[t] >> 12)),
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, G.shape[1]), jnp.float32),
         interpret=interpret,
-    )(blk, atile, first, G, at, wt)
+    )(packed, G, at, wt)
+
+
+@partial(jax.jit, static_argnames=("dim", "n_items", "p_tile", "a_tile",
+                                   "r_c", "cut", "h0", "interpret"))
+def _tile_call(packed, G, at, wt, dim, n_items, p_tile, a_tile,
+               r_c, cut, h0, interpret):
+    out = _pallas_tiles(packed, G, at, wt, dim=dim, n_items=n_items,
+                        p_tile=p_tile, a_tile=a_tile, r_c=r_c, cut=cut,
+                        h0=h0, interpret=interpret)
     return out[0]
+
+
+@partial(jax.jit, static_argnames=("dim", "p_tile", "a_tile", "r_c", "cut",
+                                   "h0", "interpret", "chunks"))
+def _tile_call_multi(packed, G, at, wt, dim, p_tile, a_tile,
+                     r_c, cut, h0, interpret, chunks):
+    """Chunked launch: one pallas_call per (item range, block range), all
+    inside ONE jit — one dispatch, one output.  Each chunk's kernel leaves
+    garbage in the blocks it never visits (pallas outputs start
+    uninitialized), so chunk outputs are masked to the chunk's own block
+    range before summing; chunks never split a block (see _chunk_bounds),
+    so the ranges are disjoint."""
+    ncols = G.shape[1]
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (1, ncols), 1) // p_tile
+    total = jnp.zeros((1, ncols), jnp.float32)
+    for (i0, i1, b0, b1) in chunks:
+        sub = jax.lax.slice(packed, (i0,), (i1,))
+        out = _pallas_tiles(sub, G, at, wt, dim=dim, n_items=i1 - i0,
+                            p_tile=p_tile, a_tile=a_tile, r_c=r_c, cut=cut,
+                            h0=h0, interpret=interpret)
+        mask = jnp.logical_and(col_blk >= b0, col_blk < b1)
+        total = total + jnp.where(mask, out, 0.0)
+    return total[0]
 
 
 def density_locality_tiles(forest: Forest, points_ref: np.ndarray,
@@ -261,7 +340,8 @@ def density_locality_tiles(forest: Forest, points_ref: np.ndarray,
                            r_c: float, cutoff: float,
                            device=None, interpret: bool = False,
                            p_tile: int = 512, a_tile: int = 512,
-                           plan: Optional[TilePlan] = None) -> np.ndarray:
+                           plan: Optional[TilePlan] = None,
+                           budget_items: Optional[int] = None) -> np.ndarray:
     """rho~ per (cell, reference quadrature point), (n_cells, n_q) f32,
     with the 4*pi normalization (src/step-50.cc:553-560) and the EXACT
     production locality semantics (see module docstring).  ``plan`` may be
@@ -282,11 +362,20 @@ def density_locality_tiles(forest: Forest, points_ref: np.ndarray,
     G = _build_geom(put(plan.cells16), put(pref), dim=dim, n_q=n_q,
                     cpb=plan.cpb, p_tile=plan.p_tile, h0=float(forest.h0),
                     lower0=tuple(float(x) for x in forest.lower))
-    out = _tile_call(put(plan.blk), put(plan.atile), put(plan.first),
-                     G, put(plan.at), put(plan.wt),
-                     dim=dim, n_items=len(plan.blk), p_tile=plan.p_tile,
-                     a_tile=plan.a_tile, r_c=float(r_c), cut=float(cutoff),
-                     h0=float(forest.h0), interpret=interpret)
+    budget = SMEM_ITEM_BUDGET if budget_items is None else int(budget_items)
+    packed = put(_pack_items(plan.blk, plan.atile))
+    bounds = _chunk_bounds(plan.blk, plan.first, budget)
+    common = dict(dim=dim, p_tile=plan.p_tile, a_tile=plan.a_tile,
+                  r_c=float(r_c), cut=float(cutoff), h0=float(forest.h0),
+                  interpret=interpret)
+    if len(bounds) == 1:
+        out = _tile_call(packed, G, put(plan.at), put(plan.wt),
+                         n_items=len(plan.blk), **common)
+    else:
+        chunks = tuple((i0, i1, int(plan.blk[i0]), int(plan.blk[i1 - 1]) + 1)
+                       for (i0, i1) in bounds)
+        out = _tile_call_multi(packed, G, put(plan.at), put(plan.wt),
+                               chunks=chunks, **common)
     rho = np.array(out).reshape(plan.nb, plan.p_tile)
     rho = np.ascontiguousarray(rho[:, : plan.cpb * n_q])
     rho[~plan.has_items] = 0.0                     # blocks never visited

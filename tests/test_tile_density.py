@@ -100,6 +100,22 @@ def test_tiles_larger_lattice_and_bigger_tiles():
     np.testing.assert_allclose(rho_t, rho_h, atol=2e-6 * scale, rtol=2e-5)
 
 
+def test_tiles_chunked_matches_single_launch():
+    """A tiny SMEM item budget forces the multi-launch path (block-boundary
+    chunks, device-side masked accumulation) — results must equal the
+    single-launch path bit-for-bit."""
+    f, atoms, tab = _setup()
+    rho_one = density_locality_tiles(f, tab.points, atoms.positions,
+                                     atoms.charges, R_C, CUT, interpret=True)
+    plan = build_tile_plan(f, len(tab.points), atoms.positions,
+                           atoms.charges, CUT)
+    assert len(plan.blk) > 40          # enough items to make >3 chunks
+    rho_chunk = density_locality_tiles(f, tab.points, atoms.positions,
+                                       atoms.charges, R_C, CUT,
+                                       interpret=True, budget_items=16)
+    np.testing.assert_array_equal(rho_chunk, rho_one)
+
+
 def test_driver_tile_path_trajectory(tmp_path):
     """The driver's tile-density branch (forced via a fake accelerator
     device on a non-x64 subprocess) reproduces the host run's trajectory

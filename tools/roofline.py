@@ -172,23 +172,21 @@ def main():
 
     # ---- 4. Morton-tiled locality density kernel (ops/tile_density.py):
     # dense work-item tiles, chained through the geometry table
-    from coulomb_gmg_tpu.ops.tile_density import _tile_call
+    from coulomb_gmg_tpu.ops.tile_density import _tile_call, _pack_items
     nb = P // 512
     n_items = nb * (Ap // 512)                  # dense: every (blk, tile)
     blk = np.repeat(np.arange(nb, dtype=np.int32), Ap // 512)
     atile_ids = np.tile(np.arange(Ap // 512, dtype=np.int32), nb)
-    first = np.zeros(n_items, np.int32)
-    first[::Ap // 512] = 1
     G = np.zeros((8, P), np.float32)
     G[:3] = pt[:3]
     G[3:6] = pt[:3]
-    blkd, atiled, firstd, Gd = (jax.device_put(x, dev)
-                                for x in (blk, atile_ids, first, G))
+    packedd, Gd = (jax.device_put(x, dev)
+                   for x in (_pack_items(blk, atile_ids), G))
 
     @jax.jit
     def tchain(G0, n):
         def body(i, g):
-            o = _tile_call(blkd, atiled, firstd, g, atd, qtd, 3, n_items,
+            o = _tile_call(packedd, g, atd, qtd, 3, n_items,
                            512, 512, r_c, 1.75, 0.5, False)
             return g + 1e-30 * o[None, :]
         return jax.lax.fori_loop(0, n, body, G0)
@@ -208,16 +206,28 @@ def main():
         rng.uniform(0.5, 2.0, (512, 4096)).astype(np.float32), dev)
     n_el = tile.size
 
-    def op_rate(name, fn, reps=64):
+    def op_rate(name, fn, reps=8192):
+        # Slope method: time reps and 2*reps and difference — the tile is
+        # ~34 us of compute per 64 reps, so a single timed call is pure
+        # dispatch+pull latency through the tunnel (CLAUDE.md).  The slope
+        # cancels the constant overhead exactly.
         @jax.jit
         def loop(x, n):
             def body(i, v):
                 return fn(v) * 0.999 + 1e-9
             return jax.lax.fori_loop(0, n, body, x)
-        float(loop(tile, reps).sum())
-        t0 = time.time()
-        float(loop(tile, reps).sum())
-        dt = time.time() - t0
+
+        def timed(n):
+            float(loop(tile, n).sum())          # warm this trip
+            t0 = time.time()
+            float(loop(tile, n).sum())
+            return time.time() - t0
+
+        # grow reps until the doubled-reps call itself costs >= 0.3 s, so
+        # the slope sits well above dispatch jitter (~25 ms)
+        while timed(2 * reps) < 0.3 and reps < 2 ** 21:
+            reps *= 4
+        dt = max(timed(2 * reps) - timed(reps), 1e-9)
         gops = n_el * reps / dt / 1e9
         print(json.dumps({"vpu_op": name, "gops_per_s": round(gops, 1),
                           "frac_of_3.9T": round(gops * 1e9 / V5E_PEAK_VPU_F32,
