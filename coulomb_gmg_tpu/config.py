@@ -121,7 +121,11 @@ class Config:
     # (density_tiles_min_work pair-evals).  Exact production semantics
     # (level-0-ancestor membership).  False pins the host list path.
     density_tiles: bool = True
-    density_tiles_min_work: float = 1e9
+    # measured crossover (round 4): hot tile call 0.7 s vs 6.1 s host list
+    # path at 9.4e8 pair-evals (8,000 atoms) — compiles amortize through
+    # the persistent cache, so the floor only guards tiny problems where
+    # the host finishes in milliseconds
+    density_tiles_min_work: float = 2e8
     # elastic accelerator demotion: if a hot stage (density / solve /
     # FE-error postprocess) takes longer than this on the accelerator, the
     # shared pool is stalling and subsequent cycles run on the host — same

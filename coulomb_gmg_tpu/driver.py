@@ -264,6 +264,12 @@ class Simulation:
                              and hot_device(tile_work,
                                             floor=cfg.density_tiles_min_work)
                              is not None)
+                if os.environ.get("CGMG_TILE_DEBUG"):
+                    print(f"[driver.density] use_tiles={use_tiles} "
+                          f"tiles_cfg={cfg.density_tiles} brute={brute} "
+                          f"lists={self.lists is not None} "
+                          f"tpu={self.tpu_device is not None} "
+                          f"work={tile_work:.2e}", flush=True)
                 if use_tiles:
                     from coulomb_gmg_tpu.ops.tile_density import (
                         density_locality_tiles)

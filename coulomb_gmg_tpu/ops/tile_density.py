@@ -89,7 +89,10 @@ def build_tile_plan(forest: Forest, n_q: int, positions: np.ndarray,
     borigin = origin + lo * pitch
     sorted_pos = positions[order]
     sorted_q = np.asarray(charges, np.float64)[order]
-    A_pad = max(a_tile, ((A + a_tile - 1) // a_tile) * a_tile)
+    # always one FULLY-pad atom tile beyond the last real one (coords 1e6,
+    # charge 0): work-list bucket padding targets it — contributions are
+    # exactly zero (see _bucket_pad)
+    A_pad = ((A + a_tile - 1) // a_tile + 1) * a_tile
     at = np.full((8, A_pad), 1.0e6, np.float32)
     at[:dim, :A] = sorted_pos.T
     wt = np.zeros((1, A_pad), np.float32)
@@ -278,6 +281,31 @@ def _chunk_bounds(blk: np.ndarray, first: np.ndarray,
     return bounds
 
 
+def _bucket_pad(packed_chunk: np.ndarray, pad_tile: int,
+                cap: int = None) -> np.ndarray:
+    """Pad a packed work-item chunk to a power-of-2 bucket length (capped
+    at the SMEM budget) so the kernel's grid size — a static arg — is
+    REUSED across adaptive cycles and run sizes instead of recompiling
+    per cycle (measured: the compile, not the kernel, dominated the
+    density stage).  Padding items keep the LAST item's block (so the
+    in-kernel first-of-block test never re-initializes an accumulated
+    block) and point at the guaranteed PAD atom tile (charges 0, coords
+    1e6 — build_tile_plan) whose contribution is exactly zero."""
+    cap = SMEM_ITEM_BUDGET if cap is None else int(cap)
+    k = len(packed_chunk)
+    b = 1024
+    while b < k:
+        b *= 2
+    b = min(b, cap)
+    if b < k:
+        raise ValueError("chunk exceeds the SMEM item budget")
+    if b == k:
+        return packed_chunk
+    last_blk = int(packed_chunk[-1]) >> 12
+    pad = np.full(b - k, np.int32((last_blk << 12) | pad_tile), np.int32)
+    return np.concatenate([packed_chunk, pad])
+
+
 def _pallas_tiles(packed, G, at, wt, *, dim, n_items, p_tile, a_tile,
                   r_c, cut, h0, interpret):
     from jax.experimental import pallas as pl
@@ -362,21 +390,42 @@ def density_locality_tiles(forest: Forest, points_ref: np.ndarray,
     G = _build_geom(put(plan.cells16), put(pref), dim=dim, n_q=n_q,
                     cpb=plan.cpb, p_tile=plan.p_tile, h0=float(forest.h0),
                     lower0=tuple(float(x) for x in forest.lower))
+    import os as _os
+    import time as _time
+    _dbg = bool(_os.environ.get("CGMG_TILE_DEBUG"))
+    _t0 = _time.time()
     budget = SMEM_ITEM_BUDGET if budget_items is None else int(budget_items)
-    packed = put(_pack_items(plan.blk, plan.atile))
+    pad_tile = plan.at.shape[1] // plan.a_tile - 1   # guaranteed pad tile
+    packed_np = _pack_items(plan.blk, plan.atile)
     bounds = _chunk_bounds(plan.blk, plan.first, budget)
     common = dict(dim=dim, p_tile=plan.p_tile, a_tile=plan.a_tile,
                   r_c=float(r_c), cut=float(cutoff), h0=float(forest.h0),
                   interpret=interpret)
     if len(bounds) == 1:
-        out = _tile_call(packed, G, put(plan.at), put(plan.wt),
-                         n_items=len(plan.blk), **common)
+        pp = _bucket_pad(packed_np, pad_tile, budget)
+        out = _tile_call(put(pp), G, put(plan.at), put(plan.wt),
+                         n_items=len(pp), **common)
     else:
-        chunks = tuple((i0, i1, int(plan.blk[i0]), int(plan.blk[i1 - 1]) + 1)
-                       for (i0, i1) in bounds)
-        out = _tile_call_multi(packed, G, put(plan.at), put(plan.wt),
-                               chunks=chunks, **common)
+        padded, chunks, pos = [], [], 0
+        for (i0, i1) in bounds:
+            pc = _bucket_pad(packed_np[i0:i1], pad_tile, budget)
+            padded.append(pc)
+            # padded items add exact zeros to the chunk's own last block
+            chunks.append((pos, pos + len(pc), int(plan.blk[i0]),
+                           int(plan.blk[i1 - 1]) + 1))
+            pos += len(pc)
+        out = _tile_call_multi(put(np.concatenate(padded)), G,
+                               put(plan.at), put(plan.wt),
+                               chunks=tuple(chunks), **common)
+    if _dbg:
+        _t1 = _time.time()
+        out.block_until_ready()
+        _t2 = _time.time()
     rho = np.array(out).reshape(plan.nb, plan.p_tile)
+    if _dbg:
+        print(f"[tile_density] n_items={len(plan.blk)} nb={plan.nb} "
+              f"dispatch={_t1 - _t0:.2f}s compute={_t2 - _t1:.2f}s "
+              f"pull={_time.time() - _t2:.2f}s", flush=True)
     rho = np.ascontiguousarray(rho[:, : plan.cpb * n_q])
     rho[~plan.has_items] = 0.0                     # blocks never visited
     rho = rho.reshape(plan.nb * plan.cpb, n_q)[:C]

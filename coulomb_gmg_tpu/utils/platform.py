@@ -45,7 +45,13 @@ def enable_compile_cache(path: str = None) -> None:
     try:
         if not jax.config.jax_compilation_cache_dir:
             jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # 0, NOT the default 1.0: the axon plugin's client-side compile()
+        # returns almost instantly (the expensive AOT compile happens in
+        # the REMOTE service), so a min-compile-time threshold filters out
+        # exactly the kernels that are expensive to rebuild (measured:
+        # _tile_call never persisted at 2.0 while its remote compile cost
+        # 40-78 s per process).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass     # older jaxlib without the knobs: compile-cache is advisory
 
