@@ -291,6 +291,12 @@ def _bucket_pad(packed_chunk: np.ndarray, pad_tile: int,
     in-kernel first-of-block test never re-initializes an accumulated
     block) and point at the guaranteed PAD atom tile (charges 0, coords
     1e6 — build_tile_plan) whose contribution is exactly zero."""
+    if pad_tile >= 1 << 12:
+        # the pad tile sits ONE PAST the last real tile: at exactly 4096
+        # real tiles it would silently decode as (block+1, tile 0) and
+        # corrupt the next block — raise like the _pack_items guard does
+        raise ValueError("pad atom-tile id overflows the 12-bit pack "
+                         "(>= 2M atoms at a_tile=512): raise a_tile")
     cap = SMEM_ITEM_BUDGET if cap is None else int(cap)
     k = len(packed_chunk)
     b = 1024
@@ -341,24 +347,31 @@ def _tile_call(packed, G, at, wt, dim, n_items, p_tile, a_tile,
 
 
 @partial(jax.jit, static_argnames=("dim", "p_tile", "a_tile", "r_c", "cut",
-                                   "h0", "interpret", "chunks"))
-def _tile_call_multi(packed, G, at, wt, dim, p_tile, a_tile,
-                     r_c, cut, h0, interpret, chunks):
+                                   "h0", "interpret", "spans"))
+def _tile_call_multi(packed, G, at, wt, blk_bounds, dim, p_tile, a_tile,
+                     r_c, cut, h0, interpret, spans):
     """Chunked launch: one pallas_call per (item range, block range), all
     inside ONE jit — one dispatch, one output.  Each chunk's kernel leaves
     garbage in the blocks it never visits (pallas outputs start
     uninitialized), so chunk outputs are masked to the chunk's own block
     range before summing; chunks never split a block (see _chunk_bounds),
-    so the ranges are disjoint."""
+    so the ranges are disjoint.
+
+    Only the item SPANS (slice bounds = grid sizes) are static; the
+    data-dependent block ranges ride in ``blk_bounds`` (n_chunks, 2) as a
+    dynamic array, so adaptive cycles whose bucketed chunk layout is
+    unchanged REUSE one executable even when refinement shifts the block
+    boundaries (round-5 ADVICE fix)."""
     ncols = G.shape[1]
     col_blk = jax.lax.broadcasted_iota(jnp.int32, (1, ncols), 1) // p_tile
     total = jnp.zeros((1, ncols), jnp.float32)
-    for (i0, i1, b0, b1) in chunks:
+    for c, (i0, i1) in enumerate(spans):
         sub = jax.lax.slice(packed, (i0,), (i1,))
         out = _pallas_tiles(sub, G, at, wt, dim=dim, n_items=i1 - i0,
                             p_tile=p_tile, a_tile=a_tile, r_c=r_c, cut=cut,
                             h0=h0, interpret=interpret)
-        mask = jnp.logical_and(col_blk >= b0, col_blk < b1)
+        mask = jnp.logical_and(col_blk >= blk_bounds[c, 0],
+                               col_blk < blk_bounds[c, 1])
         total = total + jnp.where(mask, out, 0.0)
     return total[0]
 
@@ -406,17 +419,18 @@ def density_locality_tiles(forest: Forest, points_ref: np.ndarray,
         out = _tile_call(put(pp), G, put(plan.at), put(plan.wt),
                          n_items=len(pp), **common)
     else:
-        padded, chunks, pos = [], [], 0
+        padded, spans, bbs, pos = [], [], [], 0
         for (i0, i1) in bounds:
             pc = _bucket_pad(packed_np[i0:i1], pad_tile, budget)
             padded.append(pc)
             # padded items add exact zeros to the chunk's own last block
-            chunks.append((pos, pos + len(pc), int(plan.blk[i0]),
-                           int(plan.blk[i1 - 1]) + 1))
+            spans.append((pos, pos + len(pc)))
+            bbs.append((int(plan.blk[i0]), int(plan.blk[i1 - 1]) + 1))
             pos += len(pc)
         out = _tile_call_multi(put(np.concatenate(padded)), G,
                                put(plan.at), put(plan.wt),
-                               chunks=tuple(chunks), **common)
+                               put(np.asarray(bbs, np.int32)),
+                               spans=tuple(spans), **common)
     if _dbg:
         _t1 = _time.time()
         out.block_until_ready()
