@@ -1,0 +1,416 @@
+"""Chip-resident GMG-CG: level operators BUILT on device, system matvec
+matrix-free — the round-5 answer to the H2D-ship economics that kept the
+production solve on the host.
+
+Round-4 measurement (PERF.md "Fused single-executable"): the fused
+whole-solve executable ran a 531k-DoF solve in 1.31 s hot, but shipping
+the assembled ELL hierarchy cost 9.0 s/cycle through the 31 MB/s tunnel
+and a delta rebuild 5.5 s — the host solved the same system in 0.23 s.
+This module removes the data plane:
+
+* every LEVEL operator (matrix, interface, transpose, prolongation,
+  restriction, inverse diagonal, Chebyshev bounds) is built ON DEVICE from
+  ~8 bytes/DoF of shipped topology (ops/stencil.py) — the level meshes are
+  lattice subsets, so the operators are stencil-table lookups;
+* the SYSTEM matrix is never assembled: the outer-CG matvec runs
+  matrix-free from (cell2dof, h, K_ref, constraint expansion) — the
+  assembled-matrix semantics of fem/assembly.py reproduced cellwise
+  (solver/tpu_gmg.py:cellwise_mv);
+* unchanged levels reuse the previous cycle's device arrays outright
+  (content-hash keys, ops/stencil.py:topology_signature) — zero traffic;
+* the whole solve still runs as ONE fused executable
+  (solver/tpu_gmg.py:_fused_gmg_cg) — one dispatch, one pull.
+
+Applies to the production configuration: GaussianCharges, Q1, unit
+coefficient (src/step-50.cc:835-933 assembles exactly this operator).
+The float64 host-assembly path (golden parity) is untouched.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from coulomb_gmg_tpu.mesh.forest import Forest
+from coulomb_gmg_tpu.mesh.dofs import DofInfo, Constraints
+from coulomb_gmg_tpu.ops.q1 import element_tables
+from coulomb_gmg_tpu.ops.dst import DSTPoisson
+from coulomb_gmg_tpu.ops.stencil import (
+    stencil_table, level_topology, topology_signature, build_level_ops,
+    build_prolongation_ops, power_lmax_device)
+from coulomb_gmg_tpu.solver.tpu_gmg import (
+    _Packer, _pad_n, _pad_idx, _next_pow2, _round_up, _fused_gmg_cg)
+
+
+def copy_maps(forest: Forest, dofs: DofInfo):
+    """Per-level (global dof ids, level dof ids) copy maps: dofs on ACTIVE
+    level-l cells minus the refinement edge (copy_to_mg / copy_from_mg,
+    the Janssen-Kanschat transfer of solver/multigrid.py)."""
+    out = []
+    for ld in dofs.levels:
+        _, active_index = forest.level_cells[ld.level]
+        act = active_index >= 0
+        ldofs = np.unique(ld.cell2dof[act])
+        ldofs = ldofs[~ld.interface[ldofs]]
+        gpos = np.searchsorted(dofs.keys, ld.keys[ldofs])
+        out.append((gpos, ldofs))
+    return out
+
+
+def constraint_ell(con: Constraints, k_mult: int = 4):
+    """(rows, cols (ncon, Kc), weights, inhomog) dense-ELL form of the
+    resolved constraints (Q1: hanging rows have <= 4 masters, Dirichlet
+    rows none)."""
+    ncon = len(con.rows)
+    counts = np.diff(con.indptr)
+    Kc = _round_up(max(int(counts.max()) if ncon else 1, 1), k_mult)
+    cols = np.zeros((ncon, Kc), np.int64)
+    w = np.zeros((ncon, Kc), np.float64)
+    if ncon:
+        pos = np.arange(len(con.cols)) - np.repeat(con.indptr[:-1], counts)
+        rowrep = np.repeat(np.arange(ncon), counts)
+        cols[rowrep, pos] = con.cols
+        w[rowrep, pos] = con.weights
+    return con.rows, cols, w, con.inhomog
+
+
+class StencilGMG:
+    """Device-resident GMG-CG with chip-built operators.
+
+    Drop-in for TpuGMG.solve on the production configuration; operators
+    come from topology, not from host assembly — ``build_gmg`` is never
+    called.
+    """
+
+    def __init__(self, forest: Forest, dofs: DofInfo, constraints: Constraints,
+                 device=None, dtype=jnp.float32, smoother_degree: int = 4,
+                 smoothing_range: float = 8.0, use_dst: bool = True,
+                 coarse_maxiter: int = 500, coarse_rtol: float = 1e-6,
+                 host_cache: Optional[dict] = None):
+        import os
+        import time
+        t_init = time.time()
+        self._debug = bool(os.environ.get("COULOMB_TPU_DEBUG"))
+        assert dofs.degree == 1, "StencilGMG is Q1-only"
+        self.device = device
+        self.dtype = dtype
+        self.np_dtype = np.float32 if dtype == jnp.float32 else np.float64
+        self.degree = smoother_degree
+        self.coarse_maxiter = coarse_maxiter
+        self.coarse_rtol = coarse_rtol
+        self.forest = forest
+        self.dofs = dofs
+        self.constraints = constraints
+        dim = forest.dim
+        put = (lambda a: jax.device_put(jnp.asarray(a), device)) \
+            if device is not None else (lambda a: jnp.asarray(a))
+        self._put = put
+
+        n = dofs.n_dofs
+        self.n = n
+        self.n_pad = _pad_n(n)
+        tab = element_tables(dim, 1, 2)
+        self._T_host = stencil_table(dim, tab)
+        w = np.asarray(tab.weights, np.float64)
+        G = np.asarray(tab.grad_outer, np.float64)
+        self._kref_host = np.einsum("q,qij->ij", w, G)
+
+        cache = host_cache if host_cache is not None else {}
+        touched = set()
+
+        # ---- host topology extraction + per-level ship/build decisions
+        topos = [level_topology(forest, ld, l)
+                 for l, ld in enumerate(dofs.levels)]
+        sigs = [topology_signature(t) for t in topos]
+        cmaps = copy_maps(forest, dofs)
+
+        pk = _Packer(self.np_dtype)
+        ship_specs = []           # (l, handles) for levels that must build
+        for l, t in enumerate(topos):
+            key = ("slvl", sigs[l], str(self.np_dtype))
+            touched.add(key)
+            if key in cache:
+                ship_specs.append((l, None))
+                continue
+            nl_pad = _pad_n(t.n)
+            ctype = t.coords.dtype
+            coords_pad = np.full((nl_pad, dim), t.side + 1, ctype)
+            coords_pad[: t.n] = t.coords
+            flags = (t.iface.astype(np.uint8)
+                     | (t.boundary.astype(np.uint8) << 1))
+            flags_pad = np.zeros(nl_pad, np.uint8)
+            flags_pad[: t.n] = flags
+            mask_pad = np.zeros(nl_pad, np.uint8)
+            mask_pad[: t.n] = t.mask8
+            h_c = (pk.h(coords_pad) if ctype == np.int16
+                   else pk.i(coords_pad))
+            ship_specs.append((l, (h_c, pk.b(mask_pad), pk.b(flags_pad))))
+        cg_h = [pk.i(_pad_idx(g, self.n_pad - 1)) for g, _ in cmaps]
+        cl_h = [pk.i(_pad_idx(ldofs, _pad_n(t.n) - 1))
+                for (_, ldofs), t in zip(cmaps, topos)]
+
+        # ---- system operands (matrix-free outer matvec)
+        c2d = dofs.cell2dof
+        C, nb = c2d.shape
+        C_pad = _next_pow2(C)
+        c2d_pad = np.full((C_pad, nb), self.n_pad - 1, np.int64)
+        c2d_pad[:C] = c2d
+        hsc = np.zeros(C_pad, np.float64)
+        hsc[:C] = forest.cell_h() ** (dim - 2)
+        con_rows, con_cols, con_w, con_g = constraint_ell(constraints)
+        cr_pad = _pad_idx(con_rows, self.n_pad - 1)
+        ncon_pad = len(cr_pad)
+        cc_pad = np.zeros((ncon_pad, con_cols.shape[1]), np.int64)
+        cw_pad = np.zeros((ncon_pad, con_cols.shape[1]), np.float64)
+        cg_pad = np.zeros(ncon_pad, np.float64)
+        cc_pad[: len(con_rows)] = con_cols
+        cw_pad[: len(con_rows)] = con_w
+        cg_pad[: len(con_rows)] = con_g
+        h_sys = dict(c2d=pk.i(c2d_pad), hsc=pk.f(hsc),
+                     con_rows=pk.i(cr_pad), con_cols=pk.i(cc_pad),
+                     con_w=pk.f(cw_pad), con_g=pk.f(cg_pad))
+        self._host_sys = dict(c2d=c2d, hsc=hsc[:C], con_rows=con_rows,
+                              con_indptr=constraints.indptr,
+                              con_cols_flat=constraints.cols,
+                              con_w_flat=constraints.weights,
+                              con_g=con_g)
+
+        # ---- DST coarse precompute (host, small)
+        self.dst = None
+        dst_handles = None
+        if use_dst and forest.base_reps >= 3:
+            m0 = forest.base_reps
+            d = DSTPoisson.build(dim, m0, float(forest.h(0)), self.np_dtype)
+            nodes = m0 + 1
+            coords0 = np.stack(
+                np.meshgrid(*([np.arange(nodes)] * dim), indexing="ij"),
+                -1).reshape(-1, dim)
+            interior = (coords0 > 0).all(1) & (coords0 < m0).all(1)
+            n0_pad = _pad_n(topos[0].n)
+            bnd = np.where(~interior)[0]
+            dst_handles = (pk.i(np.where(interior)[0]),
+                           pk.i(_pad_idx(bnd, n0_pad - 1)),
+                           pk.f(d.S), pk.f(d.lam))
+            self.dst_shape = (m0 - 1,) * dim
+            self.dst = d
+
+        # ---- one transfer, then device-side builds
+        views = pk.ship(device)
+        T_dev = put(self._T_host.astype(self.np_dtype))
+        self.levels = []
+        self._coords_dev = []
+        for (l, handles), t in zip(ship_specs, topos):
+            key = ("slvl", sigs[l], str(self.np_dtype))
+            if handles is None:
+                ent = cache[key]
+            else:
+                h_c, h_m, h_fl = handles
+                coords_dev = views[h_c]
+                mask_dev = views[h_m]
+                fl = views[h_fl]
+                iface_dev = (fl & 1) != 0
+                bnd_dev = (fl & 2) != 0
+                elim_dev = iface_dev | bnd_dev
+                want_if = l > 0 and bool(t.iface.any())
+                out = build_level_ops(
+                    coords_dev, mask_dev, elim_dev, iface_dev, bnd_dev,
+                    t.n, T_dev, dim=dim, side=t.side, h=t.h,
+                    want_iface=want_if, np_dtype=self.dtype)
+                if want_if:
+                    cols, evals, inv_diag, if_vals, ifT_vals = out
+                else:
+                    cols, evals, inv_diag = out
+                    if_vals = ifT_vals = None
+                lmax = power_lmax_device(cols, evals, inv_diag, t.n) * 1.05
+                lmin = lmax / smoothing_range
+                ent = dict(cols=cols, evals=evals, inv_diag=inv_diag,
+                           if_vals=if_vals, ifT_vals=ifT_vals,
+                           theta=0.5 * (lmax + lmin),
+                           delta=0.5 * (lmax - lmin),
+                           coords=coords_dev, n=t.n, side=t.side)
+                cache[key] = ent
+            self._coords_dev.append(ent["coords"])
+            self.levels.append(ent)
+
+        # prolongations: keyed on the level PAIR
+        self._pr = [None]
+        for l in range(1, len(topos)):
+            key = ("spro", sigs[l], sigs[l - 1], str(self.np_dtype))
+            touched.add(key)
+            if key not in cache:
+                cache[key] = build_prolongation_ops(
+                    self._coords_dev[l], topos[l].n,
+                    self._coords_dev[l - 1], topos[l - 1].n,
+                    dim=dim, side_c=topos[l - 1].side, np_dtype=self.dtype)
+            self._pr.append(cache[key])
+
+        # evict superseded entries (the fine levels churn every cycle)
+        if host_cache is not None:
+            for k in [k for k in cache
+                      if k[0] in ("slvl", "spro") and k not in touched]:
+                del cache[k]
+
+        self._cg_idx = [views[h] for h in cg_h]
+        self._cl_idx = [views[h] for h in cl_h]
+        self._sys_dev = {k: views[h] for k, h in h_sys.items()}
+        kref_dev = put(self._kref_host.astype(self.np_dtype))
+        self._sys_dev["kref"] = kref_dev
+        self._sys_dev["d_reg"] = _raw_diag(
+            self._sys_dev["c2d"], self._sys_dev["hsc"], kref_dev,
+            n_pad=self.n_pad)
+        if dst_handles is not None:
+            self.dst_interior = views[dst_handles[0]]
+            self.dst_boundary = views[dst_handles[1]]
+            self.dst_S = views[dst_handles[2]]
+            self.dst_lam = views[dst_handles[3]]
+        if self._debug:
+            import time as _t
+            built = sum(1 for _, h in ship_specs if h is not None)
+            print(f"[device_gmg] init {time.time() - t_init:.2f}s "
+                  f"(n={n}, built {built}/{len(topos)} levels)", flush=True)
+
+    # ------------------------------------------------------------- fused
+
+    def _fused_tree(self):
+        lv_list = []
+        for l, ent in enumerate(self.levels):
+            pr = self._pr[l]
+            lv_list.append({
+                "A": (ent["cols"], ent["evals"]),
+                "inv_diag": ent["inv_diag"],
+                "theta": ent["theta"], "delta": ent["delta"],
+                "if": ((ent["cols"], ent["if_vals"])
+                       if ent["if_vals"] is not None else None),
+                "ifT": ((ent["cols"], ent["ifT_vals"])
+                        if ent["ifT_vals"] is not None else None),
+                "P": (pr[0], pr[1]) if pr is not None else None,
+                "R": (pr[2], pr[3]) if pr is not None else None,
+                "cg": self._cg_idx[l], "cl": self._cl_idx[l],
+            })
+        s = self._sys_dev
+        sys_tree = {k: s[k] for k in ("c2d", "hsc", "kref", "con_rows",
+                                      "con_cols", "con_w", "d_reg")}
+        return {"sys": sys_tree, "levels": lv_list,
+                "dst": ((self.dst_S, self.dst_lam, self.dst_interior,
+                         self.dst_boundary) if self.dst is not None
+                        else None)}
+
+    def solve(self, rhs, x0=None, rtol: float = 1e-6, maxiter: int = 100,
+              abstol: float = 0.0, fused: Optional[bool] = None,
+              rhs_dev=None):
+        """Fused one-dispatch GMG-CG (TpuGMG.solve contract).  ``rhs_dev``:
+        an already-device-resident padded rhs (the device RHS-assembly
+        path) — skips the host ship; ``rhs`` is still used for the
+        tolerance norm if given, else the norm is computed on device."""
+        import time
+        t_s = time.time()
+        if rhs_dev is not None:
+            bj = rhs_dev
+            nb2 = (float(np.linalg.norm(np.asarray(rhs, np.float64)))
+                   if rhs is not None else float(jnp.linalg.norm(bj)))
+        else:
+            b = np.zeros(self.n_pad, self.np_dtype)
+            b[: self.n] = np.asarray(rhs, self.np_dtype)
+            bj = self._put(b)
+            nb2 = float(np.linalg.norm(b))
+        x = np.zeros(self.n_pad, self.np_dtype)
+        if x0 is not None:
+            x[: self.n] = np.asarray(x0, self.np_dtype)
+        xj = self._put(x)
+        tol = np.asarray(max(rtol * nb2, abstol), self.np_dtype)
+        flat, treedef = jax.tree_util.tree_flatten(self._fused_tree())
+        xs, k, res0, res = _fused_gmg_cg(
+            bj, xj, tol, np.asarray(self.coarse_rtol, self.np_dtype), flat,
+            treedef=treedef, degree=self.degree,
+            dst_shape=self.dst_shape if self.dst is not None else None,
+            coarse_maxiter=self.coarse_maxiter, maxiter=maxiter)
+        out = np.asarray(xs)[: self.n]
+        k = int(k)
+        if self._debug:
+            print(f"[device_gmg] fused solve {k} iters "
+                  f"{time.time() - t_s:.2f}s", flush=True)
+        return out, k, float(res0), float(res)
+
+    # ----------------------------------------------- host f64 matvec (IR)
+
+    def host_matvec64(self, v: np.ndarray) -> np.ndarray:
+        """Float64 matrix-free matvec of the assembled system on host —
+        the defect operator for mixed-precision iterative refinement
+        (no CSR is ever assembled in device-operator mode)."""
+        from coulomb_gmg_tpu.utils import native
+        s = self._host_sys
+        n = self.n
+        v = np.asarray(v, np.float64)
+        w = v.copy()
+        rows = s["con_rows"]
+        counts = np.diff(s["con_indptr"]) if len(rows) else np.zeros(0,
+                                                                     np.int64)
+        if len(rows):
+            prod = s["con_w_flat"] * v[s["con_cols_flat"]]
+            rowrep = np.repeat(np.arange(len(rows)), counts)
+            w[rows] = np.bincount(rowrep, weights=prod,
+                                  minlength=len(rows))
+        xl = w[s["c2d"]]
+        yl = (xl @ self._kref_host) * s["hsc"][:, None]
+        z = np.zeros(n)
+        native.scatter_add(s["c2d"].reshape(-1), yl.reshape(-1), n, out=z)
+        y = z.copy()
+        if len(rows):
+            rowrep = np.repeat(np.arange(len(rows)), counts)
+            np.add.at(y, s["con_cols_flat"],
+                      s["con_w_flat"] * z[rows[rowrep]])
+            y[rows] = self._raw_diag_host()[rows] * v[rows]
+        return y
+
+    def _raw_diag_host(self):
+        if not hasattr(self, "_d_reg_host"):
+            from coulomb_gmg_tpu.utils import native
+            s = self._host_sys
+            kd = np.diag(self._kref_host)
+            vals = (kd[None, :] * s["hsc"][:, None]).reshape(-1)
+            d = np.zeros(self.n)
+            native.scatter_add(s["c2d"].reshape(-1), vals, self.n, out=d)
+            self._d_reg_host = d
+        return self._d_reg_host
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("n_pad",))
+def _raw_diag(c2d, hsc, kref, n_pad: int):
+    kd = jnp.diagonal(kref)
+    vals = (kd[None, :] * hsc[:, None]).reshape(-1)
+    return jnp.zeros(n_pad, hsc.dtype).at[c2d.reshape(-1)].add(vals)
+
+
+def solve_refined_matfree(gmg: StencilGMG, rhs, x0=None, rtol: float = 1e-8,
+                          maxiter: int = 100, inner_rtol: float = 1e-6,
+                          max_passes: int = 4, rhs_dev=None):
+    """Mixed-precision iterative refinement around StencilGMG.solve with a
+    MATRIX-FREE float64 defect (solver/tpu_gmg.py:solve_refined semantics
+    without the assembled CSR)."""
+    b64 = np.asarray(rhs, np.float64)
+    nb = float(np.linalg.norm(b64))
+    tol = rtol * nb
+    x64 = (np.asarray(x0, np.float64) if x0 is not None
+           else np.zeros_like(b64))
+    total_k = 0
+    res0 = None
+    resf = nb
+    for p in range(max_passes + 1):
+        r64 = b64 - gmg.host_matvec64(x64)
+        rnorm = float(np.linalg.norm(r64))
+        if res0 is None:
+            res0 = rnorm
+        resf = rnorm
+        if rnorm <= tol or total_k >= maxiter or p == max_passes:
+            break
+        d, k, _, _ = gmg.solve(r64, None, rtol=inner_rtol,
+                               maxiter=maxiter - total_k)
+        x64 = x64 + np.asarray(d, np.float64)
+        total_k += int(k)
+    return x64, total_k, res0, resf

@@ -183,15 +183,18 @@ class _Packer:
     operators shipped individually stalled the first solve for ~90 s.
     Pack everything, ship two blobs, slice on device."""
 
+    _KINDS = {"i": np.int32, "h": np.int16, "b": np.uint8}
+
     def __init__(self, np_dtype):
         self.np_dtype = np_dtype
-        self._bufs = {"f": [], "i": []}
+        self._bufs = {k: [] for k in ("f", *self._KINDS)}
         self._meta = []          # (kind, offset, size, shape)
-        self._off = {"f": 0, "i": 0}
+        self._off = {k: 0 for k in ("f", *self._KINDS)}
 
     def add(self, a, kind: str):
         a = np.asarray(a)
-        a = a.astype(self.np_dtype if kind == "f" else np.int32, copy=False)
+        a = a.astype(self.np_dtype if kind == "f" else self._KINDS[kind],
+                     copy=False)
         flat = a.ravel()
         h = (kind, self._off[kind], flat.size, a.shape)
         self._bufs[kind].append(flat)
@@ -206,6 +209,12 @@ class _Packer:
 
     def i(self, a):
         return self.add(a, "i")
+
+    def h(self, a):
+        return self.add(a, "h")
+
+    def b(self, a):
+        return self.add(a, "b")
 
     def ship(self, device):
         if device is None:
@@ -238,6 +247,29 @@ class _Packer:
 
 def _ell_mv_t(cols, vals, x):
     return jnp.sum(vals * x[cols], axis=1)
+
+
+def cellwise_mv(s, v):
+    """Matrix-free matvec of the ASSEMBLED system from cellwise operands:
+    constraint expansion C (hanging/boundary rows -> master weights), the
+    raw cell pass (gather by cell2dof, K_ref contraction, scatter-add),
+    C^T, and the regularization diagonal on constrained rows — exactly the
+    assembled-matrix semantics of fem/assembly.py:assemble_np.
+
+    ``s``: dict with c2d (C_pad, nb) int32 (pad rows -> the dead dof
+    n_pad-1 with hsc 0), hsc (C_pad,) = h^(dim-2), kref (nb, nb),
+    con_rows/con_cols/con_w (constraint ELL; pad rows -> dead dof,
+    weights 0), d_reg (n_pad,) raw diagonal at constrained rows (0 else).
+    """
+    w = v.at[s["con_rows"]].set(
+        jnp.sum(s["con_w"] * v[s["con_cols"]], axis=1))
+    xl = w[s["c2d"]]                                   # (C_pad, nb)
+    yl = (xl @ s["kref"]) * s["hsc"][:, None]
+    z = jnp.zeros_like(v).at[s["c2d"].reshape(-1)].add(yl.reshape(-1))
+    y = z.at[s["con_cols"].reshape(-1)].add(
+        (s["con_w"] * z[s["con_rows"]][:, None]).reshape(-1))
+    return y.at[s["con_rows"]].set(s["d_reg"][s["con_rows"]]
+                                   * v[s["con_rows"]])
 
 
 def _cheb_t(ecols, evals, inv_diag, d, x0, theta, delta, degree: int,
@@ -284,8 +316,17 @@ def _fused_gmg_cg(rhs, x0, tol, coarse_rtol, flat, *, treedef, degree,
     n_pad = rhs.shape[0]
     dtype = rhs.dtype
 
-    def sys_mv(v):
-        return _ell_mv_t(ops["sys"][0], ops["sys"][1], v)
+    if isinstance(ops["sys"], dict):
+        # matrix-free cellwise system operator (chip-resident operators,
+        # solver/device_gmg.py): y = C^T A_raw C v + d_reg on constrained
+        # rows — the assembled-matrix semantics of fem/assembly.py without
+        # ever materializing the CSR.  The structure of the tree selects
+        # the branch at trace time (treedef is a static argument).
+        def sys_mv(v):
+            return cellwise_mv(ops["sys"], v)
+    else:
+        def sys_mv(v):
+            return _ell_mv_t(ops["sys"][0], ops["sys"][1], v)
 
     def cheb_lv(lv, d, u0, from_zero):
         return _cheb_t(lv["A"][0], lv["A"][1], lv["inv_diag"], d, u0,
