@@ -114,6 +114,15 @@ class Config:
     # fused whole-solve executable for device-resident solves; False falls
     # back to the host-orchestrated block-wise CG (measurement aid).
     solve_fused: bool = True
+    # chip-resident operators (solver/device_gmg.py): level matrices built
+    # ON DEVICE from compact topology (ops/stencil.py), matrix-free outer
+    # matvec, device RHS assembly — no host CSR assembly, no ELL ship.
+    # Eligible for GaussianCharges / Q1 / unit coefficient / GMG /
+    # single-device.  "auto": on for accelerator-visible float32 runs;
+    # "on": force (eligibility permitting, any backend — used by tests);
+    # "off": never.  The float64 golden-parity path is unaffected by
+    # "auto" (it runs host CSR assembly as before).
+    device_operators: str = "auto"
     # Morton-tiled locality density (ops/tile_density.py): dense
     # (atom x point) tiles over bucket-sorted atom slices on the
     # accelerator, replacing the gather-bound host list path when the chip
@@ -155,6 +164,10 @@ class Config:
         if self.solver_backend not in ("auto", "gmg", "tpu_cg"):
             raise ValueError(
                 f"solver_backend must be auto|gmg|tpu_cg, got {self.solver_backend!r}")
+        if self.device_operators not in ("auto", "on", "off"):
+            raise ValueError(
+                f"device_operators must be auto|on|off, "
+                f"got {self.device_operators!r}")
         if self.dim not in (2, 3):
             raise ValueError("Only 2d and 3d dimensions are supported.")
         if self.degree < 1:

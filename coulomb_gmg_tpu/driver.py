@@ -169,6 +169,24 @@ class Simulation:
         return lambda pts: np.asarray(P.analytic_solution(
             jnp.asarray(pts), jnp.asarray(pos), jnp.asarray(q), cfg.r_c))
 
+    def device_ops_active(self) -> bool:
+        """Chip-resident operator mode (solver/device_gmg.py): level
+        operators built on device from topology, matrix-free system
+        matvec, device RHS assembly — no host CSR assembly at all.
+        Eligibility mirrors what the stencil form can express (the
+        production configuration: src/step-50.cc:835-933 assembles exactly
+        this operator)."""
+        cfg = self.cfg
+        eligible = (cfg.problem == "GaussianCharges" and cfg.degree == 1
+                    and cfg.preconditioner == "GMG" and self.spmd is None
+                    and self.use_tpu_cg and self.coeff_fn() is None)
+        if cfg.device_operators == "off":
+            return False
+        if cfg.device_operators == "on":
+            return eligible
+        return (eligible and self.tpu_device is not None
+                and self.dtype == jnp.float32)
+
     def maybe_demote(self, elapsed_s: float, threshold_s: float,
                      used_accelerator: bool = True) -> bool:
         """Elastic placement policy: a hot stage that took longer than the
@@ -327,13 +345,39 @@ class Simulation:
                                                      cfg.r_c))
         with self.timer.scope("Setup system"):
             self.constraints = build_constraints(dofs, self.boundary_fn())
-            self.plan = build_plan(dofs.cell2dof, self.constraints)
+            if self.device_ops_active():
+                # no CSR is ever assembled: the sparsity pattern + scatter
+                # plan (the bulk of this stage at production scale) are
+                # not needed — operators are stencil-built on device
+                self.plan = None
+            else:
+                self.plan = build_plan(dofs.cell2dof, self.constraints)
 
     # ----------------------------------------------------------- assembly
 
     def assemble_system(self):
         cfg = self.cfg
         f = self.forest
+        if self.device_ops_active():
+            # chip-resident operators: StencilGMG owns the (device) system
+            # operands; build it here (charged to the MG-assembly stage,
+            # its host-assembly analogue) and assemble the RHS on device
+            # from the resident density.  The matrix is never assembled.
+            from coulomb_gmg_tpu.solver.device_gmg import StencilGMG
+            with self.timer.scope("Assemble Multigrid"):
+                if not hasattr(self, "_stencil_cache"):
+                    self._stencil_cache = {}
+                self._stencil_gmg = StencilGMG(
+                    f, f.dofs_of(cfg.degree), self.constraints,
+                    device=self.tpu_device, dtype=self.dtype,
+                    use_dst=True, coarse_maxiter=cfg.coarse_max_iters,
+                    coarse_rtol=cfg.coarse_rtol,
+                    host_cache=self._stencil_cache)
+            with self.timer.scope("Assemble system"):
+                self.rhs, self.rhs_dev = self._stencil_gmg.assemble_rhs(
+                    self.rho, self.tab_rhs)
+                self.A = None
+            return
         with self.timer.scope("Assemble system"):
             np_dtype = np.float32 if self.dtype == jnp.float32 else np.float64
             h = f.cell_h()
@@ -367,6 +411,8 @@ class Simulation:
 
     def assemble_multigrid(self):
         cfg = self.cfg
+        if self.device_ops_active():
+            return          # StencilGMG was built with the system
         if not hasattr(self, "_gmg_cache"):
             self._gmg_cache = {}
         with self.timer.scope("Assemble Multigrid"):
@@ -394,6 +440,47 @@ class Simulation:
             pc("   L1 rhs norm " + sci10(np.abs(rhs_np).sum()))
             pc("   L2 rhs norm " + sci10(np.linalg.norm(rhs_np)))
             pc("   LInfinity rhs norm " + sci10(np.abs(rhs_np).max()))
+            if self.device_ops_active():
+                # matrix-free: no assembled CSR, so the matrix-norm lines
+                # of the reference log (printed by the f64 parity path)
+                # are unavailable here
+                from coulomb_gmg_tpu.solver.device_gmg import (
+                    solve_refined_matfree)
+                g = self._stencil_gmg
+                x0_np = None
+                if self.solution is not None and \
+                        len(self.solution) == g.n:
+                    x0_np = self.solution
+                if self.dtype == jnp.float32 and cfg.cg_rtol < 5e-7:
+                    # f32 recurrence floor ~6e-7: mixed-precision IR with
+                    # a MATRIX-FREE f64 defect (solver/tpu_gmg.py notes)
+                    x, k, res0, resf = solve_refined_matfree(
+                        g, rhs_np, x0_np, rtol=cfg.cg_rtol,
+                        maxiter=cfg.cg_max_iters)
+                else:
+                    x, k, res0, resf = g.solve(
+                        rhs_np, x0_np, rtol=cfg.cg_rtol,
+                        maxiter=cfg.cg_max_iters,
+                        rhs_dev=getattr(self, "rhs_dev", None))
+                pc("   Starting value " + fix10(res0))
+                pc(f"   CG converged in {k} iterations.")
+                pc("   Convergence value " + sci10(resf))
+                pc("   L1 solution norm " + sci10(np.abs(x).sum()))
+                pc("   L2 solution norm " + sci10(np.linalg.norm(x)))
+                pc("   LInfinity solution norm " + sci10(np.abs(x).max()))
+                self.solution = distribute(self.constraints, x)
+                self.cg_iterations = int(k)
+                self.cg_start = float(res0)
+                self.norms = {
+                    "l1_rhs": float(np.abs(rhs_np).sum()),
+                    "l2_rhs": float(np.linalg.norm(rhs_np)),
+                    "linf_rhs": float(np.abs(rhs_np).max()),
+                    "l1_mat": None, "linf_mat": None, "fro_mat": None,
+                    "l1_sol": float(np.abs(x).sum()),
+                    "l2_sol": float(np.linalg.norm(x)),
+                    "linf_sol": float(np.abs(x).max()),
+                }
+                return
             data = np.asarray(self.A.data)
             indptr, indices = self.plan.pattern.indptr, self.plan.pattern.indices
             rowsum = np.add.reduceat(np.abs(data), indptr[:-1])
@@ -609,6 +696,11 @@ class Simulation:
             if not self.lammpsinput:
                 # analytic path uses the rhs function values in the residual
                 rho_q = self.rho
+            if not cfg.estimator_volume_term:
+                # plain-Kelly marking (the production configuration) never
+                # reads the density — and in device-operator mode self.rho
+                # may be a device-resident array that must not be pulled
+                rho_q = None
             # numpy throughout: estimate() is host code, and jnp.asarray
             # under an accelerator backend would round-trip these arrays
             # through the tunnel (57 MB of rho_q at 31 MB/s up, 2.4 MB/s
@@ -621,7 +713,8 @@ class Simulation:
                 self._face_plan = build_face_plan(self.forest)
             err = estimate(self.forest,
                            self.forest.dofs_of(cfg.degree).cell2dof,
-                           np.asarray(self.solution), np.asarray(rho_q),
+                           np.asarray(self.solution),
+                           np.asarray(rho_q) if rho_q is not None else None,
                            self.tab_rhs.points, self.tab_rhs.weights,
                            degree=cfg.degree,
                            use_volume_term=cfg.estimator_volume_term,

@@ -156,10 +156,14 @@ class StencilGMG:
         c2d = dofs.cell2dof
         C, nb = c2d.shape
         C_pad = _next_pow2(C)
+        self._C = C
+        self._C_pad = C_pad
         c2d_pad = np.full((C_pad, nb), self.n_pad - 1, np.int64)
         c2d_pad[:C] = c2d
         hsc = np.zeros(C_pad, np.float64)
         hsc[:C] = forest.cell_h() ** (dim - 2)
+        hdim = np.zeros(C_pad, np.float64)
+        hdim[:C] = forest.cell_h() ** dim
         con_rows, con_cols, con_w, con_g = constraint_ell(constraints)
         cr_pad = _pad_idx(con_rows, self.n_pad - 1)
         ncon_pad = len(cr_pad)
@@ -169,7 +173,7 @@ class StencilGMG:
         cc_pad[: len(con_rows)] = con_cols
         cw_pad[: len(con_rows)] = con_w
         cg_pad[: len(con_rows)] = con_g
-        h_sys = dict(c2d=pk.i(c2d_pad), hsc=pk.f(hsc),
+        h_sys = dict(c2d=pk.i(c2d_pad), hsc=pk.f(hsc), hdim=pk.f(hdim),
                      con_rows=pk.i(cr_pad), con_cols=pk.i(cc_pad),
                      con_w=pk.f(cw_pad), con_g=pk.f(cg_pad))
         self._host_sys = dict(c2d=c2d, hsc=hsc[:C], con_rows=con_rows,
@@ -334,6 +338,34 @@ class StencilGMG:
                   f"{time.time() - t_s:.2f}s", flush=True)
         return out, k, float(res0), float(res)
 
+    # ---------------------------------------------------- device RHS
+
+    def assemble_rhs(self, rho, tab_rhs):
+        """Device-side RHS assembly from density at quadrature points
+        (src/step-50.cc:799-828 semantics via fem/assembly.py's C^T form):
+        ``rhs = C^T_hom(f_raw - A_raw g_ext)`` with constrained rows zeroed.
+
+        rho: (n_cells, n_q) numpy, or an already-device (C_pad, n_q)
+        array (the tile-density path keeps it resident — VERDICT r4 #2).
+        Returns (rhs_np (n,), rhs_dev (n_pad,))."""
+        phiw = (np.asarray(tab_rhs.weights)[:, None]
+                * np.asarray(tab_rhs.phi)).astype(self.np_dtype)
+        if isinstance(rho, np.ndarray):
+            r = np.zeros((self._C_pad, rho.shape[1]), self.np_dtype)
+            r[: rho.shape[0]] = rho
+            rho_dev = self._put(r)
+        else:
+            rho_dev = rho
+            assert rho_dev.shape[0] == self._C_pad, (
+                rho_dev.shape, self._C_pad)
+        s = self._sys_dev
+        rhs_dev = _rhs_device(rho_dev, self._put(phiw), s["hdim"],
+                              s["c2d"], s["hsc"], s["kref"], s["con_rows"],
+                              s["con_cols"], s["con_w"], s["con_g"],
+                              n_pad=self.n_pad)
+        rhs_np = np.asarray(rhs_dev)[: self.n]
+        return rhs_np, rhs_dev
+
     # ----------------------------------------------- host f64 matvec (IR)
 
     def host_matvec64(self, v: np.ndarray) -> np.ndarray:
@@ -381,6 +413,19 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnames=("n_pad",))
+def _rhs_device(rho, phiw, hdim, c2d, hsc, kref, con_rows, con_cols,
+                con_w, con_g, n_pad: int):
+    f_cells = (rho @ phiw) * hdim[:, None]               # (C_pad, nb)
+    g_full = jnp.zeros(n_pad, rho.dtype).at[con_rows].set(con_g)
+    lift = (g_full[c2d] @ kref) * hsc[:, None]           # inhomog. BC lift
+    raw = jnp.zeros(n_pad, rho.dtype).at[c2d.reshape(-1)].add(
+        (f_cells - lift).reshape(-1))
+    y = raw.at[con_cols.reshape(-1)].add(
+        (con_w * raw[con_rows][:, None]).reshape(-1))
+    return y.at[con_rows].set(0.0)                       # zero rhs rows
+
+
+@partial(jax.jit, static_argnames=("n_pad",))
 def _raw_diag(c2d, hsc, kref, n_pad: int):
     kd = jnp.diagonal(kref)
     vals = (kd[None, :] * hsc[:, None]).reshape(-1)
@@ -389,7 +434,7 @@ def _raw_diag(c2d, hsc, kref, n_pad: int):
 
 def solve_refined_matfree(gmg: StencilGMG, rhs, x0=None, rtol: float = 1e-8,
                           maxiter: int = 100, inner_rtol: float = 1e-6,
-                          max_passes: int = 4, rhs_dev=None):
+                          max_passes: int = 4):
     """Mixed-precision iterative refinement around StencilGMG.solve with a
     MATRIX-FREE float64 defect (solver/tpu_gmg.py:solve_refined semantics
     without the assembled CSR)."""
