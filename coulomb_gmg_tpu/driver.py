@@ -169,6 +169,15 @@ class Simulation:
         return lambda pts: np.asarray(P.analytic_solution(
             jnp.asarray(pts), jnp.asarray(pos), jnp.asarray(q), cfg.r_c))
 
+    def rho_host(self) -> np.ndarray:
+        """(n_cells, n_q) numpy density — pulls and trims the bucket
+        padding if the density is device-resident (tile path under
+        device-operator mode)."""
+        rho = self.rho
+        if isinstance(rho, np.ndarray):
+            return rho
+        return np.asarray(rho)[: self.forest.n_cells]
+
     def device_ops_active(self) -> bool:
         """Chip-resident operator mode (solver/device_gmg.py): level
         operators built on device from topology, matrix-free system
@@ -291,11 +300,16 @@ class Simulation:
                 if use_tiles:
                     from coulomb_gmg_tpu.ops.tile_density import (
                         density_locality_tiles)
+                    # device-operator mode consumes rho ON DEVICE in the
+                    # RHS assembly — skip the (cells x q) pull entirely
+                    # (3.56 s/cycle of the 5.3 s hot cycle at 64k was D2H)
+                    keep_dev = self.device_ops_active()
                     self.rho = density_locality_tiles(
                         f, self.tab_rhs.points, self.atoms.positions,
                         self.atoms.charges, cfg.r_c,
                         cfg.nonzero_radius * cfg.r_c,
-                        device=self.tpu_device)
+                        device=self.tpu_device,
+                        return_device=keep_dev)
                     self.maybe_demote(_time.time() - _t0,
                                       cfg.demote_hot_stage_s, True)
                 elif self.spmd is not None:
@@ -332,7 +346,7 @@ class Simulation:
                 if cfg.flag_compute_quadrupole:
                     self.quadrupole = P.quadrupole_from_forest(
                         f, self.tab_rhs.points, self.tab_rhs.weights,
-                        self.rho)
+                        self.rho_host())
                 else:
                     self.quadrupole = np.zeros((cfg.dim, cfg.dim))
         else:
@@ -392,7 +406,7 @@ class Simulation:
                 asm = self.spmd.build_assembler(
                     self.plan, self.tab_lap, self.tab_rhs,
                     has_coeff=coeff_fn is not None, np_dtype=np_dtype)
-                data, rhs = asm(h, coeff_q, np.asarray(self.rho))
+                data, rhs = asm(h, coeff_q, self.rho_host())
             else:
                 # host numpy path: per-cycle topology shapes are fresh every
                 # cycle, so eager XLA would pay a compile per primitive per
@@ -401,7 +415,7 @@ class Simulation:
                                                            rhs_cells_np)
                 K = stiffness_cells_np(self.tab_lap, h, coeff_q,
                                        dtype=np_dtype)
-                Fv = rhs_cells_np(self.tab_rhs, h, np.asarray(self.rho),
+                Fv = rhs_cells_np(self.tab_rhs, h, self.rho_host(),
                                   dtype=np_dtype)
                 data, rhs = assemble_np(self.plan, K, Fv, dtype=np_dtype)
             self.A = CSR.from_pattern(self.plan.pattern.indptr,
@@ -692,15 +706,11 @@ class Simulation:
     def estimate_and_mark(self):
         cfg = self.cfg
         with self.timer.scope("Estimate error and mark cells"):
-            rho_q = self.rho if self.lammpsinput else None
-            if not self.lammpsinput:
-                # analytic path uses the rhs function values in the residual
-                rho_q = self.rho
-            if not cfg.estimator_volume_term:
-                # plain-Kelly marking (the production configuration) never
-                # reads the density — and in device-operator mode self.rho
-                # may be a device-resident array that must not be pulled
-                rho_q = None
+            # plain-Kelly marking (the production configuration) never
+            # reads the density — and in device-operator mode self.rho
+            # may be device-resident and must not be pulled; the volume
+            # term (both atom and analytic paths) uses the host view.
+            rho_q = (self.rho_host() if cfg.estimator_volume_term else None)
             # numpy throughout: estimate() is host code, and jnp.asarray
             # under an accelerator backend would round-trip these arrays
             # through the tunnel (57 MB of rho_q at 31 MB/s up, 2.4 MB/s

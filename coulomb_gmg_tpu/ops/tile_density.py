@@ -376,17 +376,40 @@ def _tile_call_multi(packed, G, at, wt, blk_bounds, dim, p_tile, a_tile,
     return total[0]
 
 
+@partial(jax.jit, static_argnames=("cpb", "n_q", "p_tile", "c_pad"))
+def _rho_device_postprocess(out, has_items, const, cpb, n_q, p_tile, c_pad):
+    """Device-side finishing of the kernel output: zero never-visited
+    blocks (their pallas output rows are uninitialized), strip block
+    padding, apply the 4*pi normalization, and bucket-pad the cell axis —
+    the device-resident twin of the host tail of density_locality_tiles,
+    so rho can feed straight into device RHS assembly (VERDICT r4 #2:
+    the 3.56 s/cycle rho pull at 64k was pure waste)."""
+    nb = out.shape[0] // p_tile
+    r = out.reshape(nb, p_tile)
+    r = jnp.where(has_items[:, None], r, 0.0)
+    r = (r[:, : cpb * n_q] * const).reshape(nb * cpb, n_q)
+    if nb * cpb < c_pad:
+        r = jnp.pad(r, ((0, c_pad - nb * cpb), (0, 0)))
+    return r[:c_pad]
+
+
 def density_locality_tiles(forest: Forest, points_ref: np.ndarray,
                            positions: np.ndarray, charges: np.ndarray,
                            r_c: float, cutoff: float,
                            device=None, interpret: bool = False,
                            p_tile: int = 512, a_tile: int = 512,
                            plan: Optional[TilePlan] = None,
-                           budget_items: Optional[int] = None) -> np.ndarray:
+                           budget_items: Optional[int] = None,
+                           return_device: bool = False,
+                           c_pad: Optional[int] = None):
     """rho~ per (cell, reference quadrature point), (n_cells, n_q) f32,
     with the 4*pi normalization (src/step-50.cc:553-560) and the EXACT
     production locality semantics (see module docstring).  ``plan`` may be
-    passed in when reusing a topology (e.g. measurement loops)."""
+    passed in when reusing a topology (e.g. measurement loops).
+
+    ``return_device=True``: keep rho ON DEVICE, returned as a
+    (c_pad, n_q) bucket-padded array (pad cells exactly zero) for direct
+    consumption by the device RHS assembly — no D2H pull."""
     dim = forest.dim
     pref = np.asarray(points_ref, np.float32)
     n_q = len(pref)
@@ -394,7 +417,12 @@ def density_locality_tiles(forest: Forest, points_ref: np.ndarray,
         plan = build_tile_plan(forest, n_q, positions, charges, cutoff,
                                p_tile=p_tile, a_tile=a_tile)
     C = forest.n_cells
+    if c_pad is None:
+        c_pad = _next_pow2(max(C, 1))
     if len(plan.blk) == 0:
+        if return_device:
+            z = jnp.zeros((c_pad, n_q), jnp.float32)
+            return jax.device_put(z, device) if device is not None else z
         return np.zeros((C, n_q), np.float32)
     if device is None or getattr(device, "platform", "cpu") == "cpu":
         interpret = True     # Mosaic is TPU-only; CPU runs interpret mode
@@ -431,6 +459,18 @@ def density_locality_tiles(forest: Forest, points_ref: np.ndarray,
                                put(plan.at), put(plan.wt),
                                put(np.asarray(bbs, np.int32)),
                                spans=tuple(spans), **common)
+    const = 4.0 * np.pi / (r_c ** 3 * np.pi ** 1.5)   # as ops/density.py
+    if return_device:
+        rho_dev = _rho_device_postprocess(
+            out, put(plan.has_items), np.float32(const), cpb=plan.cpb,
+            n_q=n_q, p_tile=plan.p_tile, c_pad=int(c_pad))
+        if _dbg:
+            _t1 = _time.time()
+            rho_dev.block_until_ready()
+            print(f"[tile_density] n_items={len(plan.blk)} nb={plan.nb} "
+                  f"device-resident dispatch+compute={_t1 - _t0:.2f}s "
+                  f"(no pull)", flush=True)
+        return rho_dev
     if _dbg:
         _t1 = _time.time()
         out.block_until_ready()
@@ -443,5 +483,4 @@ def density_locality_tiles(forest: Forest, points_ref: np.ndarray,
     rho = np.ascontiguousarray(rho[:, : plan.cpb * n_q])
     rho[~plan.has_items] = 0.0                     # blocks never visited
     rho = rho.reshape(plan.nb * plan.cpb, n_q)[:C]
-    const = 4.0 * np.pi / (r_c ** 3 * np.pi ** 1.5)   # as ops/density.py
     return (const * rho).astype(np.float32)

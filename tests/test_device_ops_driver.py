@@ -60,6 +60,24 @@ def test_device_ops_true_residual_f32():
     assert resf <= 1e-8 * np.linalg.norm(sim.rhs) * 1.01
 
 
+def test_device_ops_production_trajectory_8_atoms():
+    """The full production configuration (8-atom NaCl, f32, chip-resident
+    operators, no CSR anywhere) reproduces the reference's PUBLISHED
+    per-cycle cell counts exactly (Plotting/ncells_per_atom.dat:6) with
+    mesh-independent CG counts — the hybrid-bench validity gate."""
+    from coulomb_gmg_tpu.config import production_scaling_config
+    from coulomb_gmg_tpu.models.atoms import nacl_lattice
+    cfg = production_scaling_config(1, dtype="float32",
+                                    solver_backend="tpu_cg",
+                                    device_operators="on")
+    sim = Simulation(cfg, atoms=nacl_lattice(1), pcout=Pcout(enabled=False))
+    res = sim.run()
+    assert sim.device_ops_active()
+    assert [r["n_cells"] for r in res] == [85184, 85744, 87648, 91344,
+                                           99464]
+    assert all(1 <= r["cg_iterations"] <= 20 for r in res)
+
+
 def test_device_ops_auto_off_on_host():
     """auto mode must NOT engage on a CPU-only float64 run (golden parity
     path unchanged)."""

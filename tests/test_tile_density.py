@@ -168,3 +168,19 @@ print("RES " + json.dumps(out))
         assert rt["n_dofs"] == rh["n_dofs"]
         assert abs(rt["l2_rhs"] - rh["l2_rhs"]) < 1e-5 * abs(rh["l2_rhs"])
         assert abs(rt["cg_iterations"] - rh["cg_iterations"]) <= 1
+
+
+def test_tiles_return_device_matches_pull():
+    """return_device=True keeps rho resident and bucket-padded; the padded
+    view must equal the pulled host result (pad rows exactly zero)."""
+    f, atoms, tab = _setup()
+    rho_np = density_locality_tiles(f, tab.points, atoms.positions,
+                                    atoms.charges, R_C, CUT, interpret=True)
+    rho_dev = density_locality_tiles(f, tab.points, atoms.positions,
+                                     atoms.charges, R_C, CUT, interpret=True,
+                                     return_device=True)
+    C = f.n_cells
+    assert rho_dev.shape[0] >= C and (rho_dev.shape[0] & (rho_dev.shape[0] - 1)) == 0
+    r = np.asarray(rho_dev)
+    np.testing.assert_allclose(r[:C], rho_np, rtol=1e-6, atol=1e-8)
+    assert not r[C:].any()
