@@ -50,7 +50,8 @@ def main():
 
     cfg = production_scaling_config(args.n, dtype="float32",
                                     solver_backend="tpu_cg",
-                                    n_adaptive_cycles=1)
+                                    n_adaptive_cycles=1,
+                                    device_operators="off")
     t0 = time.time()
     sim = Simulation(cfg, atoms=nacl_lattice(args.n),
                      pcout=Pcout(enabled=False))
