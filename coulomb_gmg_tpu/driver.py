@@ -313,14 +313,31 @@ class Simulation:
                     self.maybe_demote(_time.time() - _t0,
                                       cfg.demote_hot_stage_s, True)
                 elif self.spmd is not None:
-                    # device-sharded cell blocks, production kernel math
-                    self.rho = self.spmd.density(
-                        f, self.tab_rhs.points, self.atoms.positions,
-                        self.atoms.charges, cfg.r_c,
-                        mask=self.mask if cfg.flag_rhs_assembly else None,
-                        lists=self.lists if cfg.flag_rhs_assembly else None,
-                        dtype=np.float32 if self.dtype == jnp.float32
-                        else np.float64)
+                    # SPMD path: the Morton-tiled production kernel sharded
+                    # by cell-block owner (bit-identical to single-device
+                    # tiles) when the run is f32 with locality lists;
+                    # otherwise the separable/masked kernels per block.
+                    spmd_tiles = (cfg.density_tiles and not brute
+                                  and self.lists is not None
+                                  and cfg.flag_rhs_assembly
+                                  and self.dtype == jnp.float32)
+                    if spmd_tiles:
+                        try:
+                            self.rho = self.spmd.density_tiles(
+                                f, self.tab_rhs.points, self.atoms.positions,
+                                self.atoms.charges, cfg.r_c,
+                                cfg.nonzero_radius * cfg.r_c)
+                        except ValueError:
+                            spmd_tiles = False   # SMEM budget: fall back
+                    if not spmd_tiles:
+                        self.rho = self.spmd.density(
+                            f, self.tab_rhs.points, self.atoms.positions,
+                            self.atoms.charges, cfg.r_c,
+                            mask=self.mask if cfg.flag_rhs_assembly else None,
+                            lists=self.lists if cfg.flag_rhs_assembly
+                            else None,
+                            dtype=np.float32 if self.dtype == jnp.float32
+                            else np.float64)
                 else:
                     self.rho = compute_density(
                         f, self.tab_rhs.points, self.atoms.positions,

@@ -74,13 +74,18 @@ def _next_pow2(n: int) -> int:
 
 def build_tile_plan(forest: Forest, n_q: int, positions: np.ndarray,
                     charges: np.ndarray, cutoff: float,
-                    p_tile: int = 512, a_tile: int = 512) -> TilePlan:
+                    p_tile: int = 512, a_tile: int = 512,
+                    nb_multiple: int = 1) -> TilePlan:
     dim = forest.dim
     C = forest.n_cells
     positions = np.asarray(positions, np.float64)
     A = len(positions)
     cpb = max(p_tile // n_q, 1)
     nb = _next_pow2(max((C + cpb - 1) // cpb, 1))
+    if nb % nb_multiple:
+        # SPMD sharding needs the block count divisible by the device
+        # count (odd D included) — round up; extra blocks are pure padding
+        nb = (nb // nb_multiple + 1) * nb_multiple
 
     # ---- sorted atoms (the bucket hash of ops/neighbors.py)
     pitch = max(cutoff, 1e-12)
@@ -418,7 +423,9 @@ def density_locality_tiles(forest: Forest, points_ref: np.ndarray,
                                p_tile=p_tile, a_tile=a_tile)
     C = forest.n_cells
     if c_pad is None:
-        c_pad = _next_pow2(max(C, 1))
+        # strictly more than C — matches StencilGMG's cell padding (its
+        # gather-transpose table needs a guaranteed pad cell)
+        c_pad = _next_pow2(C + 1)
     if len(plan.blk) == 0:
         if return_device:
             z = jnp.zeros((c_pad, n_q), jnp.float32)

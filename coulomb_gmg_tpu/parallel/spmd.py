@@ -157,6 +157,100 @@ class SpmdContext:
         out = np.asarray(fn(*args))
         return out.reshape(-1, out.shape[-1])[:n]
 
+    # ------------------------------------- sharded Morton-tiled density
+
+    def density_tiles(self, forest, points_ref, positions, charges,
+                      r_c: float, cutoff: float,
+                      interpret: Optional[bool] = None) -> np.ndarray:
+        """The production Morton-tiled locality density
+        (ops/tile_density.py) under SPMD: the work-item list is sharded by
+        cell-block OWNER (contiguous SFC block ranges — the same partition
+        as every other stage) and every device runs the SAME Pallas kernel
+        on its own items; the output is the device's own cell blocks, so
+        no reduction is needed (round-5 lift of the single-device gate,
+        VERDICT r4 #6; src/step-50.cc:509-575 loops locally-owned cells
+        the same way).
+
+        Bit-identical to the single-device tile path: identical plan,
+        identical kernel, identical f32 arithmetic per (cell, atom) pair —
+        only the launch partition differs.
+        """
+        from coulomb_gmg_tpu.ops import tile_density as td
+
+        D = self.D
+        pref = np.asarray(points_ref, np.float32)
+        n_q = len(pref)
+        plan = td.build_tile_plan(forest, n_q, positions, charges, cutoff,
+                                  nb_multiple=D)
+        C = forest.n_cells
+        if interpret is None:
+            interpret = jax.devices()[0].platform == "cpu"
+        if len(plan.blk) == 0:
+            return np.zeros((C, n_q), np.float32)
+        nbb = plan.nb // D
+        owner = plan.blk // nbb
+
+        # per-device packed items (LOCAL block ids), bucket-padded to a
+        # common length; padding targets the guaranteed pad atom tile of
+        # the device's own last-seen block (exact zeros)
+        pad_tile = plan.at.shape[1] // plan.a_tile - 1
+        per_dev = []
+        for d in range(D):
+            sel = owner == d
+            if sel.any():
+                pk = td._pack_items(plan.blk[sel] - d * nbb,
+                                    plan.atile[sel])
+            else:
+                pk = np.asarray([pad_tile], np.int32)   # block 0, pad tile
+            per_dev.append(pk)
+        E = td._next_pow2(max(len(p) for p in per_dev))
+        if E > td.SMEM_ITEM_BUDGET:
+            raise ValueError("per-device item list exceeds the SMEM budget"
+                             " — raise n_devices or fall back to the"
+                             " single-device tile path")
+        def _pad_to(p):
+            if len(p) == E:
+                return p
+            fill = np.int32((int(p[-1]) >> 12 << 12) | pad_tile)
+            return np.concatenate([p, np.full(E - len(p), fill, np.int32)])
+
+        packed = np.stack([_pad_to(p) for p in per_dev])
+
+        G = td._build_geom(jnp.asarray(plan.cells16), jnp.asarray(pref),
+                           dim=forest.dim, n_q=n_q, cpb=plan.cpb,
+                           p_tile=plan.p_tile, h0=float(forest.h0),
+                           lower0=tuple(float(x) for x in forest.lower))
+        Gb = jnp.asarray(np.asarray(G).reshape(
+            8, D, nbb * plan.p_tile).transpose(1, 0, 2))   # (D, 8, cols_d)
+        at = jnp.asarray(plan.at)
+        wt = jnp.asarray(plan.wt)
+        dim = forest.dim
+        axis = self.axis
+
+        key = ("tiles", dim, float(r_c), float(cutoff), float(forest.h0),
+               packed.shape, Gb.shape, at.shape, bool(interpret))
+        fn = self._progs.get(key)
+        if fn is None:
+            def local(pk, Gl, a, w):
+                out = td._pallas_tiles(
+                    pk[0], Gl[0], a, w, dim=dim, n_items=E,
+                    p_tile=plan.p_tile, a_tile=plan.a_tile,
+                    r_c=float(r_c), cut=float(cutoff),
+                    h0=float(forest.h0), interpret=interpret)
+                return out                        # (1, cols_d)
+
+            sp = P(self.axis)
+            fn = jax.jit(shard_map(
+                local, mesh=self.mesh, in_specs=(sp, sp, P(), P()),
+                out_specs=sp, check_rep=False))
+            self._progs[key] = fn
+        out = np.asarray(fn(jnp.asarray(packed), Gb, at, wt))
+        rho = out.reshape(plan.nb, plan.p_tile)[:, : plan.cpb * n_q].copy()
+        rho[~plan.has_items] = 0.0
+        rho = rho.reshape(plan.nb * plan.cpb, n_q)[:C]
+        const = 4.0 * np.pi / (r_c ** 3 * np.pi ** 1.5)
+        return (const * rho).astype(np.float32)
+
     # ------------------------------------------- sharded energy-norm error
 
     def energy_norm_error(self, forest, tables, u, positions, charges,

@@ -155,7 +155,9 @@ class StencilGMG:
         # ---- system operands (matrix-free outer matvec)
         c2d = dofs.cell2dof
         C, nb = c2d.shape
-        C_pad = _next_pow2(C)
+        # strictly MORE than C: the gather-transpose table needs at least
+        # one guaranteed pad cell whose entries are inert (hsc = 0)
+        C_pad = _next_pow2(C + 1)
         self._C = C
         self._C_pad = C_pad
         c2d_pad = np.full((C_pad, nb), self.n_pad - 1, np.int64)
@@ -262,9 +264,11 @@ class StencilGMG:
         self._sys_dev = {k: views[h] for k, h in h_sys.items()}
         kref_dev = put(self._kref_host.astype(self.np_dtype))
         self._sys_dev["kref"] = kref_dev
+        self._sys_dev["d2c"] = _build_d2c(self._sys_dev["c2d"],
+                                          n_pad=self.n_pad)
         self._sys_dev["d_reg"] = _raw_diag(
-            self._sys_dev["c2d"], self._sys_dev["hsc"], kref_dev,
-            n_pad=self.n_pad)
+            self._sys_dev["c2d"], self._sys_dev["d2c"],
+            self._sys_dev["hsc"], kref_dev)
         if dst_handles is not None:
             self.dst_interior = views[dst_handles[0]]
             self.dst_boundary = views[dst_handles[1]]
@@ -295,8 +299,9 @@ class StencilGMG:
                 "cg": self._cg_idx[l], "cl": self._cl_idx[l],
             })
         s = self._sys_dev
-        sys_tree = {k: s[k] for k in ("c2d", "hsc", "kref", "con_rows",
-                                      "con_cols", "con_w", "d_reg")}
+        sys_tree = {k: s[k] for k in ("c2d", "d2c", "hsc", "kref",
+                                      "con_rows", "con_cols", "con_w",
+                                      "d_reg")}
         return {"sys": sys_tree, "levels": lv_list,
                 "dst": ((self.dst_S, self.dst_lam, self.dst_interior,
                          self.dst_boundary) if self.dst is not None
@@ -360,9 +365,9 @@ class StencilGMG:
                 rho_dev.shape, self._C_pad)
         s = self._sys_dev
         rhs_dev = _rhs_device(rho_dev, self._put(phiw), s["hdim"],
-                              s["c2d"], s["hsc"], s["kref"], s["con_rows"],
-                              s["con_cols"], s["con_w"], s["con_g"],
-                              n_pad=self.n_pad)
+                              s["c2d"], s["d2c"], s["hsc"], s["kref"],
+                              s["con_rows"], s["con_cols"], s["con_w"],
+                              s["con_g"], n_pad=self.n_pad)
         rhs_np = np.asarray(rhs_dev)[: self.n]
         return rhs_np, rhs_dev
 
@@ -413,23 +418,43 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnames=("n_pad",))
-def _rhs_device(rho, phiw, hdim, c2d, hsc, kref, con_rows, con_cols,
+def _build_d2c(c2d, n_pad: int):
+    """Transpose of cell2dof as a gather table: d2c[i, slot] = flat entry
+    position in the (C_pad * nb) cell-local value array contributing to
+    dof i (a vertex touches <= 2^dim cells), dead slots -> the LAST flat
+    entry, which belongs to a guaranteed pad cell (hsc = 0, so its value
+    is always exactly zero).  Built on device once per topology; turns
+    every cell->dof accumulation into a gather-sum (no runtime scatter)."""
+    C_pad, nb = c2d.shape
+    flat = c2d.reshape(-1).astype(jnp.int32)
+    order = jnp.argsort(flat, stable=True).astype(jnp.int32)
+    sortedv = flat[order]
+    rows = jnp.arange(n_pad, dtype=jnp.int32)
+    start = jnp.searchsorted(sortedv, rows).astype(jnp.int32)
+    pos = start[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :]
+    pos_c = jnp.minimum(pos, flat.shape[0] - 1)
+    valid = (sortedv[pos_c] == rows[:, None]) & (pos < flat.shape[0])
+    return jnp.where(valid, order[pos_c], flat.shape[0] - 1)
+
+
+@partial(jax.jit, static_argnames=("n_pad",))
+def _rhs_device(rho, phiw, hdim, c2d, d2c, hsc, kref, con_rows, con_cols,
                 con_w, con_g, n_pad: int):
     f_cells = (rho @ phiw) * hdim[:, None]               # (C_pad, nb)
     g_full = jnp.zeros(n_pad, rho.dtype).at[con_rows].set(con_g)
     lift = (g_full[c2d] @ kref) * hsc[:, None]           # inhomog. BC lift
-    raw = jnp.zeros(n_pad, rho.dtype).at[c2d.reshape(-1)].add(
-        (f_cells - lift).reshape(-1))
+    raw = jnp.sum((f_cells - lift).reshape(-1)[d2c], axis=1)
     y = raw.at[con_cols.reshape(-1)].add(
         (con_w * raw[con_rows][:, None]).reshape(-1))
     return y.at[con_rows].set(0.0)                       # zero rhs rows
 
 
-@partial(jax.jit, static_argnames=("n_pad",))
-def _raw_diag(c2d, hsc, kref, n_pad: int):
+@jax.jit
+def _raw_diag(c2d, d2c, hsc, kref):
+    del c2d
     kd = jnp.diagonal(kref)
     vals = (kd[None, :] * hsc[:, None]).reshape(-1)
-    return jnp.zeros(n_pad, hsc.dtype).at[c2d.reshape(-1)].add(vals)
+    return jnp.sum(vals[d2c], axis=1)
 
 
 def solve_refined_matfree(gmg: StencilGMG, rhs, x0=None, rtol: float = 1e-8,

@@ -252,20 +252,29 @@ def _ell_mv_t(cols, vals, x):
 def cellwise_mv(s, v):
     """Matrix-free matvec of the ASSEMBLED system from cellwise operands:
     constraint expansion C (hanging/boundary rows -> master weights), the
-    raw cell pass (gather by cell2dof, K_ref contraction, scatter-add),
-    C^T, and the regularization diagonal on constrained rows — exactly the
-    assembled-matrix semantics of fem/assembly.py:assemble_np.
+    raw cell pass (gather by cell2dof, K_ref contraction, TRANSPOSED
+    gather-sum), C^T, and the regularization diagonal on constrained
+    rows — exactly the assembled-matrix semantics of
+    fem/assembly.py:assemble_np.
+
+    The cell->dof accumulation runs as a GATHER over the precomputed
+    transpose table ``d2c`` (dof -> its <= 2^dim (cell, corner) entry
+    positions, solver/device_gmg.py:_build_d2c) — never as a runtime
+    scatter: XLA:TPU handles large duplicate-index scatters badly inside
+    the CG while_loop (round-5 measurement: the scatter form wedged the
+    remote compile at production scale).
 
     ``s``: dict with c2d (C_pad, nb) int32 (pad rows -> the dead dof
-    n_pad-1 with hsc 0), hsc (C_pad,) = h^(dim-2), kref (nb, nb),
+    n_pad-1 with hsc 0), d2c (n_pad, nb) int32 entry positions (dead
+    slots -> a pad-cell entry), hsc (C_pad,) = h^(dim-2), kref (nb, nb),
     con_rows/con_cols/con_w (constraint ELL; pad rows -> dead dof,
-    weights 0), d_reg (n_pad,) raw diagonal at constrained rows (0 else).
+    weights 0), d_reg (n_pad,) raw diagonal.
     """
     w = v.at[s["con_rows"]].set(
         jnp.sum(s["con_w"] * v[s["con_cols"]], axis=1))
     xl = w[s["c2d"]]                                   # (C_pad, nb)
-    yl = (xl @ s["kref"]) * s["hsc"][:, None]
-    z = jnp.zeros_like(v).at[s["c2d"].reshape(-1)].add(yl.reshape(-1))
+    yl = ((xl @ s["kref"]) * s["hsc"][:, None]).reshape(-1)
+    z = jnp.sum(yl[s["d2c"]], axis=1)                  # transposed gather
     y = z.at[s["con_cols"].reshape(-1)].add(
         (s["con_w"] * z[s["con_rows"]][:, None]).reshape(-1))
     return y.at[s["con_rows"]].set(s["d_reg"][s["con_rows"]]
