@@ -167,14 +167,29 @@ class StencilGMG:
         hdim = np.zeros(C_pad, np.float64)
         hdim[:C] = forest.cell_h() ** dim
         con_rows, con_cols, con_w, con_g = constraint_ell(constraints)
-        cr_pad = _pad_idx(con_rows, self.n_pad - 1)
-        ncon_pad = len(cr_pad)
-        cc_pad = np.zeros((ncon_pad, con_cols.shape[1]), np.int64)
-        cw_pad = np.zeros((ncon_pad, con_cols.shape[1]), np.float64)
+        ncon = len(con_rows)
+        Kc = con_cols.shape[1]
+        dead = self.n_pad - 1
+        # at least one all-pad row (its cols point at the dead dof with
+        # zero weights) — the full-width gather tables redirect
+        # unconstrained dofs to it
+        ncon_pad = _next_pow2(ncon + 1)
+        cr_pad = np.full(ncon_pad, dead, np.int64)
+        cc_pad = np.full((ncon_pad, Kc), dead, np.int64)
+        cw_pad = np.zeros((ncon_pad, Kc), np.float64)
         cg_pad = np.zeros(ncon_pad, np.float64)
-        cc_pad[: len(con_rows)] = con_cols
-        cw_pad[: len(con_rows)] = con_w
-        cg_pad[: len(con_rows)] = con_g
+        if ncon:
+            counts = np.diff(constraints.indptr)
+            filled = np.arange(Kc)[None, :] < counts[:, None]
+            cr_pad[:ncon] = con_rows
+            cc_pad[:ncon] = np.where(filled, con_cols, dead)
+            cw_pad[:ncon] = con_w
+            cg_pad[:ncon] = con_g
+        # transpose width: how many constrained rows reference one master
+        Kt = 1
+        if ncon and len(constraints.cols):
+            Kt = int(np.bincount(constraints.cols).max())
+        self._Kt = _round_up(max(Kt, 1), 4)
         h_sys = dict(c2d=pk.i(c2d_pad), hsc=pk.f(hsc), hdim=pk.f(hdim),
                      con_rows=pk.i(cr_pad), con_cols=pk.i(cc_pad),
                      con_w=pk.f(cw_pad), con_g=pk.f(cg_pad))
@@ -263,12 +278,14 @@ class StencilGMG:
         self._cl_idx = [views[h] for h in cl_h]
         self._sys_dev = {k: views[h] for k, h in h_sys.items()}
         kref_dev = put(self._kref_host.astype(self.np_dtype))
-        self._sys_dev["kref"] = kref_dev
-        self._sys_dev["d2c"] = _build_d2c(self._sys_dev["c2d"],
-                                          n_pad=self.n_pad)
-        self._sys_dev["d_reg"] = _raw_diag(
-            self._sys_dev["c2d"], self._sys_dev["d2c"],
-            self._sys_dev["hsc"], kref_dev)
+        s = self._sys_dev
+        s["kref"] = kref_dev
+        s["d2c"] = _build_d2c(s["c2d"], n_pad=self.n_pad)
+        s["d_reg"] = _raw_diag(s["c2d"], s["d2c"], s["hsc"], kref_dev)
+        (s["con_mask"], s["con_cols_full"], s["con_w_full"], s["g_full"],
+         s["conT_row"], s["conT_w"]) = _build_con_tables(
+            s["con_rows"], s["con_cols"], s["con_w"], s["con_g"],
+            n_pad=self.n_pad, Kt=self._Kt)
         if dst_handles is not None:
             self.dst_interior = views[dst_handles[0]]
             self.dst_boundary = views[dst_handles[1]]
@@ -300,7 +317,8 @@ class StencilGMG:
             })
         s = self._sys_dev
         sys_tree = {k: s[k] for k in ("c2d", "d2c", "hsc", "kref",
-                                      "con_rows", "con_cols", "con_w",
+                                      "con_mask", "con_cols_full",
+                                      "con_w_full", "conT_row", "conT_w",
                                       "d_reg")}
         return {"sys": sys_tree, "levels": lv_list,
                 "dst": ((self.dst_S, self.dst_lam, self.dst_interior,
@@ -366,8 +384,8 @@ class StencilGMG:
         s = self._sys_dev
         rhs_dev = _rhs_device(rho_dev, self._put(phiw), s["hdim"],
                               s["c2d"], s["d2c"], s["hsc"], s["kref"],
-                              s["con_rows"], s["con_cols"], s["con_w"],
-                              s["con_g"], n_pad=self.n_pad)
+                              s["g_full"], s["con_mask"], s["conT_row"],
+                              s["conT_w"])
         rhs_np = np.asarray(rhs_dev)[: self.n]
         return rhs_np, rhs_dev
 
@@ -437,16 +455,58 @@ def _build_d2c(c2d, n_pad: int):
     return jnp.where(valid, order[pos_c], flat.shape[0] - 1)
 
 
-@partial(jax.jit, static_argnames=("n_pad",))
-def _rhs_device(rho, phiw, hdim, c2d, d2c, hsc, kref, con_rows, con_cols,
-                con_w, con_g, n_pad: int):
+@partial(jax.jit, static_argnames=("n_pad", "Kt"))
+def _build_con_tables(con_rows, con_cols, con_w, con_g, n_pad: int,
+                      Kt: int):
+    """Full-width gather tables for the constraint expansion, built once
+    per topology on device (scatters here are OUT of the solve loop):
+
+    - con_mask (n_pad,): dof is constrained;
+    - con_cols_full / con_w_full (n_pad, Kc): per-dof master expansion
+      (unconstrained dofs redirect to the all-pad row: dead cols, zero
+      weights);
+    - g_full (n_pad,): constraint inhomogeneity per dof;
+    - conT_row / conT_w (n_pad, Kt): TRANSPOSED expansion — for each
+      master dof, the constrained rows referencing it (dead slots carry
+      zero weight).  Kt is the host-computed max reference count.
+    """
+    ncon_pad, Kc = con_cols.shape
+    dead = n_pad - 1
+    mask = (jnp.zeros(n_pad, bool).at[con_rows].set(True)
+            .at[dead].set(False))
+    idx = jnp.full(n_pad, ncon_pad - 1, jnp.int32).at[con_rows].set(
+        jnp.arange(ncon_pad, dtype=jnp.int32))
+    idx = jnp.where(mask, idx, ncon_pad - 1)
+    ccf = con_cols[idx]
+    cwf = jnp.where(mask[:, None], con_w[idx], 0.0).astype(con_w.dtype)
+    gf = (jnp.zeros(n_pad, con_w.dtype).at[con_rows].set(con_g)
+          .at[dead].set(0.0))
+    flat_cols = con_cols.reshape(-1).astype(jnp.int32)
+    flat_w = con_w.reshape(-1)
+    flat_row = jnp.repeat(con_rows.astype(jnp.int32), Kc)
+    order = jnp.argsort(flat_cols, stable=True).astype(jnp.int32)
+    sc = flat_cols[order]
+    rows = jnp.arange(n_pad, dtype=jnp.int32)
+    start = jnp.searchsorted(sc, rows).astype(jnp.int32)
+    pos = start[:, None] + jnp.arange(Kt, dtype=jnp.int32)[None, :]
+    pos_c = jnp.minimum(pos, sc.shape[0] - 1)
+    valid = (sc[pos_c] == rows[:, None]) & (pos < sc.shape[0])
+    src = jnp.where(valid, order[pos_c], sc.shape[0] - 1)
+    tr = flat_row[src]
+    tw = jnp.where(valid, flat_w[src], 0.0).astype(con_w.dtype)
+    # the dead dof's own slots reference only pad entries (zero weight)
+    tw = jnp.where(rows[:, None] == dead, 0.0, tw).astype(con_w.dtype)
+    return mask, ccf, cwf, gf, tr, tw
+
+
+@jax.jit
+def _rhs_device(rho, phiw, hdim, c2d, d2c, hsc, kref, g_full, con_mask,
+                conT_row, conT_w):
     f_cells = (rho @ phiw) * hdim[:, None]               # (C_pad, nb)
-    g_full = jnp.zeros(n_pad, rho.dtype).at[con_rows].set(con_g)
     lift = (g_full[c2d] @ kref) * hsc[:, None]           # inhomog. BC lift
     raw = jnp.sum((f_cells - lift).reshape(-1)[d2c], axis=1)
-    y = raw.at[con_cols.reshape(-1)].add(
-        (con_w * raw[con_rows][:, None]).reshape(-1))
-    return y.at[con_rows].set(0.0)                       # zero rhs rows
+    y = raw + jnp.sum(conT_w * raw[conT_row], axis=1)
+    return jnp.where(con_mask, 0.0, y).astype(raw.dtype)  # zero rhs rows
 
 
 @jax.jit

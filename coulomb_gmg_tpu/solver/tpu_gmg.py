@@ -257,28 +257,29 @@ def cellwise_mv(s, v):
     rows — exactly the assembled-matrix semantics of
     fem/assembly.py:assemble_np.
 
-    The cell->dof accumulation runs as a GATHER over the precomputed
-    transpose table ``d2c`` (dof -> its <= 2^dim (cell, corner) entry
-    positions, solver/device_gmg.py:_build_d2c) — never as a runtime
-    scatter: XLA:TPU handles large duplicate-index scatters badly inside
-    the CG while_loop (round-5 measurement: the scatter form wedged the
-    remote compile at production scale).
+    EVERY accumulation runs as a GATHER over precomputed full-width
+    tables (solver/device_gmg.py builds them once per topology) — never
+    as a runtime scatter: XLA:TPU serializes duplicate-index scatters, and
+    a single .at[].add inside the CG while_loop cost seconds per iteration
+    at 531k DoF (round-5 measurement; the scatter-form compile also wedged
+    outright at production scale).
 
     ``s``: dict with c2d (C_pad, nb) int32 (pad rows -> the dead dof
-    n_pad-1 with hsc 0), d2c (n_pad, nb) int32 entry positions (dead
-    slots -> a pad-cell entry), hsc (C_pad,) = h^(dim-2), kref (nb, nb),
-    con_rows/con_cols/con_w (constraint ELL; pad rows -> dead dof,
-    weights 0), d_reg (n_pad,) raw diagonal.
+    n_pad-1 with hsc 0), d2c (n_pad, nb) int32 transposed entry positions
+    (dead slots -> a pad-cell entry), hsc (C_pad,) = h^(dim-2),
+    kref (nb, nb), con_mask (n_pad,) bool constrained rows,
+    con_cols_full/con_w_full (n_pad, Kc) per-dof master expansion (dead
+    cols, zero weights elsewhere), conT_row/conT_w (n_pad, Kt) transposed
+    expansion (dof -> constrained rows referencing it), d_reg (n_pad,)
+    raw diagonal.
     """
-    w = v.at[s["con_rows"]].set(
-        jnp.sum(s["con_w"] * v[s["con_cols"]], axis=1))
+    wr = jnp.sum(s["con_w_full"] * v[s["con_cols_full"]], axis=1)
+    w = jnp.where(s["con_mask"], wr, v)
     xl = w[s["c2d"]]                                   # (C_pad, nb)
     yl = ((xl @ s["kref"]) * s["hsc"][:, None]).reshape(-1)
     z = jnp.sum(yl[s["d2c"]], axis=1)                  # transposed gather
-    y = z.at[s["con_cols"].reshape(-1)].add(
-        (s["con_w"] * z[s["con_rows"]][:, None]).reshape(-1))
-    return y.at[s["con_rows"]].set(s["d_reg"][s["con_rows"]]
-                                   * v[s["con_rows"]])
+    y = z + jnp.sum(s["conT_w"] * z[s["conT_row"]], axis=1)
+    return jnp.where(s["con_mask"], s["d_reg"] * v, y)
 
 
 def _cheb_t(ecols, evals, inv_diag, d, x0, theta, delta, degree: int,
