@@ -349,17 +349,18 @@ class StencilGMG:
         xj = self._put(x)
         tol = np.asarray(max(rtol * nb2, abstol), self.np_dtype)
         flat, treedef = jax.tree_util.tree_flatten(self._fused_tree())
-        xs, k, res0, res = _fused_gmg_cg(
+        xs, stats = _fused_gmg_cg(
             bj, xj, tol, np.asarray(self.coarse_rtol, self.np_dtype), flat,
             treedef=treedef, degree=self.degree,
             dst_shape=self.dst_shape if self.dst is not None else None,
             coarse_maxiter=self.coarse_maxiter, maxiter=maxiter)
-        out = np.asarray(xs)[: self.n]
-        k = int(k)
+        out = np.asarray(xs)[: self.n]            # one D2H pull
+        st = np.asarray(stats)                    # + one small pull
+        k, res0, res = int(st[0]), float(st[1]), float(st[2])
         if self._debug:
             print(f"[device_gmg] fused solve {k} iters "
                   f"{time.time() - t_s:.2f}s", flush=True)
-        return out, k, float(res0), float(res)
+        return out, k, res0, res
 
     # ---------------------------------------------------- device RHS
 
@@ -539,8 +540,13 @@ def solve_refined_matfree(gmg: StencilGMG, rhs, x0=None, rtol: float = 1e-8,
         resf = rnorm
         if rnorm <= tol or total_k >= maxiter or p == max_passes:
             break
+        # NOTE: maxiter is a STATIC arg of the fused executable — pass the
+        # same value every pass (passing the shrinking budget recompiled
+        # the whole solve per IR pass: ~5 s/pass even with a warm disk
+        # cache, measured round 5).  The iteration budget is enforced by
+        # the host-side total_k check above.
         d, k, _, _ = gmg.solve(r64, None, rtol=inner_rtol,
-                               maxiter=maxiter - total_k)
+                               maxiter=maxiter)
         x64 = x64 + np.asarray(d, np.float64)
         total_k += int(k)
     return x64, total_k, res0, resf

@@ -442,7 +442,10 @@ def _fused_gmg_cg(rhs, x0, tol, coarse_rtol, flat, *, treedef, degree,
 
     s0 = (x0, r, p, rho, res0_2, jnp.asarray(0))
     x, r, p, rho, res2, k = jax.lax.while_loop(cond, body, s0)
-    return x, k, jnp.sqrt(res0_2), jnp.sqrt(res2)
+    # stats ride one small array: a separate device scalar per stat cost
+    # one ~0.5 s tunnel round trip EACH on the pull side
+    stats = jnp.stack([k.astype(dtype), jnp.sqrt(res0_2), jnp.sqrt(res2)])
+    return x, stats
 
 
 @partial(jax.jit, static_argnames=("shape",))
@@ -965,17 +968,18 @@ class TpuGMG:
         tol = np.asarray(max(rtol * float(np.linalg.norm(b)), abstol),
                          self.np_dtype)
         flat, treedef = jax.tree_util.tree_flatten(self._fused_tree())
-        xs, k, res0, res = _fused_gmg_cg(
+        xs, stats = _fused_gmg_cg(
             bj, xj, tol, np.asarray(self.coarse_rtol, self.np_dtype), flat,
             treedef=treedef, degree=self.degree,
             dst_shape=self.dst_shape if self.dst is not None else None,
             coarse_maxiter=self.coarse_maxiter, maxiter=maxiter)
         out = np.asarray(xs)[: self.n]            # one D2H pull
-        k = int(k)
+        st = np.asarray(stats)                    # + one small pull
+        k, res0, res = int(st[0]), float(st[1]), float(st[2])
         if self._debug:
             print(f"[tpu_gmg] fused solve {k} iters "
                   f"{time.time() - t_s:.2f}s", flush=True)
-        return out, k, float(res0), float(res)
+        return out, k, res0, res
 
     # ------------------------------------------------------------------ CG
 
@@ -1102,8 +1106,11 @@ def solve_refined(gmg, indptr, indices, data, rhs, x0=None,
         resf = rnorm
         if rnorm <= tol or total_k >= maxiter or p == max_passes:
             break
+        # maxiter is STATIC in the fused executable: keep it constant
+        # across passes (a shrinking budget forces a recompile per pass);
+        # the host-side total_k check above enforces the real budget.
         d, k, _, _ = gmg.solve(r64, None, rtol=inner_rtol,
-                               maxiter=maxiter - total_k, fused=fused)
+                               maxiter=maxiter, fused=fused)
         x64 = x64 + np.asarray(d, np.float64)
         total_k += int(k)
     return x64, total_k, res0, resf

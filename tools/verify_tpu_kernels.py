@@ -182,6 +182,62 @@ def main():
     if not rows[-1]["pass"]:
         return 1
 
+    # ---- ShardedGMG on the real chip (D=1): the multi-chip SPMD solve
+    # (parallel/sharded_gmg.py) had only ever executed on virtual CPU
+    # meshes; its COO gather/scatter + shard_map collectives must lower
+    # and run on the hardware it exists for (VERDICT r4 #4).
+    from jax.sharding import Mesh
+    from coulomb_gmg_tpu.parallel.sharded_gmg import ShardedGMG
+    try:
+        mesh1 = Mesh(np.array([dev]), ("shard",))
+        sg = ShardedGMG(simf.gmg, simf.A, mesh1, dtype=jnp.float32,
+                        maxiter=50)
+        t0 = time.time()
+        x_sg, k_sg, res0_sg, res_sg = sg.solve(rhsf, rtol=1e-6)
+        t_sg = time.time() - t0
+        t0 = time.time()
+        x_sg2, k_sg2, *_ = sg.solve(rhsf, rtol=1e-6)
+        t_sg_hot = time.time() - t0
+        rel6 = float(np.linalg.norm(x_sg - x_h)
+                     / (np.linalg.norm(x_h) + 1e-30))
+        emit({"check": "sharded_gmg_compiled", "iters_host": int(k_h),
+              "iters_dev": int(k_sg), "rel_diff": rel6,
+              "pass": bool(abs(int(k_sg) - int(k_h)) <= 1 and rel6 < 1e-3
+                           and res_sg <= 1e-6 * bn * 1.05),
+              "first_call_s": round(t_sg, 1),
+              "hot_solve_s": round(t_sg_hot, 3)})
+    except Exception as e:                                # noqa: BLE001
+        emit({"check": "sharded_gmg_compiled", "pass": False,
+              "error": f"{type(e).__name__}: {e}"[:400]})
+    if not rows[-1]["pass"]:
+        return 1
+
+    # ---- StencilGMG: chip-built operators + matrix-free system matvec
+    # (solver/device_gmg.py) vs the host-assembled fused solve
+    from coulomb_gmg_tpu.solver.device_gmg import StencilGMG
+    try:
+        gs = StencilGMG(simf.forest, simf.forest.dofs_of(1),
+                        simf.constraints, device=dev, dtype=jnp.float32)
+        t0 = time.time()
+        x_s, k_s, res0_s, res_s = gs.solve(rhsf, rtol=1e-6)
+        t_st = time.time() - t0
+        t0 = time.time()
+        gs.solve(rhsf, rtol=1e-6)
+        t_st_hot = time.time() - t0
+        rel7 = float(np.linalg.norm(x_s - x_h)
+                     / (np.linalg.norm(x_h) + 1e-30))
+        emit({"check": "stencil_gmg_compiled", "iters_host": int(k_h),
+              "iters_dev": int(k_s), "rel_diff": rel7,
+              "pass": bool(abs(int(k_s) - int(k_h)) <= 1 and rel7 < 1e-3
+                           and res_s <= 1e-6 * bn * 1.05),
+              "first_call_s": round(t_st, 1),
+              "hot_solve_s": round(t_st_hot, 3)})
+    except Exception as e:                                # noqa: BLE001
+        emit({"check": "stencil_gmg_compiled", "pass": False,
+              "error": f"{type(e).__name__}: {e}"[:400]})
+    if not rows[-1]["pass"]:
+        return 1
+
     # ---- head-to-head: pallas MXU distance-matrix vs jnp dense (what XLA
     # makes of the same math) at three atom counts, fixed point count
     def timeit_pull(fn, iters=8):
