@@ -372,8 +372,15 @@ class StencilGMG:
         rho: (n_cells, n_q) numpy, or an already-device (C_pad, n_q)
         array (the tile-density path keeps it resident — VERDICT r4 #2).
         Returns (rhs_np (n,), rhs_dev (n_pad,))."""
-        phiw = (np.asarray(tab_rhs.weights)[:, None]
-                * np.asarray(tab_rhs.phi)).astype(self.np_dtype)
+        # the w*phi table ships as an (hi, lo) f32 split of its float64
+        # value so the device's double-f32 chain sees exact coefficients
+        # (see _rhs_device)
+        wphi64 = (np.asarray(tab_rhs.weights, np.float64)[:, None]
+                  * np.asarray(tab_rhs.phi, np.float64))
+        wphi_hi = wphi64.astype(self.np_dtype)
+        wphi_lo = (wphi64 - wphi_hi).astype(self.np_dtype)
+        wq = np.stack([wphi_hi, wphi_lo]).astype(self.np_dtype)
+        phi = np.asarray(tab_rhs.phi).astype(self.np_dtype)
         if isinstance(rho, np.ndarray):
             r = np.zeros((self._C_pad, rho.shape[1]), self.np_dtype)
             r[: rho.shape[0]] = rho
@@ -383,10 +390,10 @@ class StencilGMG:
             assert rho_dev.shape[0] == self._C_pad, (
                 rho_dev.shape, self._C_pad)
         s = self._sys_dev
-        rhs_dev = _rhs_device(rho_dev, self._put(phiw), s["hdim"],
-                              s["c2d"], s["d2c"], s["hsc"], s["kref"],
-                              s["g_full"], s["con_mask"], s["conT_row"],
-                              s["conT_w"])
+        rhs_dev = _rhs_device(rho_dev, self._put(wq), self._put(phi),
+                              s["hdim"], s["c2d"], s["d2c"], s["hsc"],
+                              s["kref"], s["g_full"], s["con_mask"],
+                              s["conT_row"], s["conT_w"])
         rhs_np = np.asarray(rhs_dev)[: self.n]
         return rhs_np, rhs_dev
 
@@ -500,12 +507,74 @@ def _build_con_tables(con_rows, con_cols, con_w, con_g, n_pad: int,
     return mask, ccf, cwf, gf, tr, tw
 
 
+def _neumaier_step(hi, lo, t):
+    """One Neumaier (exact-TwoSum, propagated-low) accumulation step.
+    The optimization barrier stops XLA's algebraic simplifier from
+    folding the error term to zero (measured: unprotected Kahan compiles
+    to a plain sum).  Reproduces f64-accumulate-then-cast-to-f32
+    BIT-FOR-BIT for exact f32 terms (verified)."""
+    s = jax.lax.optimization_barrier(hi + t)
+    bb = jax.lax.optimization_barrier(s - hi)
+    err = (hi - (s - bb)) + (t - bb)
+    lo = lo + err
+    return jax.lax.optimization_barrier((s, lo))
+
+
+def _two_prod(a, b):
+    """Exact product as a (value, error) pair (Veltkamp split + Dekker
+    product; barriers keep XLA from folding the error away).  The split
+    constant is 2^ceil(m/2)+1 for the mantissa width of the dtype."""
+    sc = 4097.0 if a.dtype == jnp.float32 else 134217729.0
+    p = jax.lax.optimization_barrier(a * b)
+    ca = jax.lax.optimization_barrier(a * sc)
+    ah = jax.lax.optimization_barrier(ca - (ca - a))
+    al = a - ah
+    cb = jax.lax.optimization_barrier(b * sc)
+    bh = jax.lax.optimization_barrier(cb - (cb - b))
+    bl = b - bh
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return jax.lax.optimization_barrier((p, err))
+
+
 @jax.jit
-def _rhs_device(rho, phiw, hdim, c2d, d2c, hsc, kref, g_full, con_mask,
+def _rhs_device(rho, wq, phi, hdim, c2d, d2c, hsc, kref, g_full, con_mask,
                 conT_row, conT_w):
-    f_cells = (rho @ phiw) * hdim[:, None]               # (C_pad, nb)
+    """Device RHS with COMPENSATED f32 accumulation.
+
+    The NaCl charges alternate sign, so plain f32 evaluation of the load
+    vector carries ~3e-6 entrywise cancellation error (measured round 5)
+    — enough to flip near-threshold Kelly marking and break the exact
+    published-trajectory reproduction at 8k atoms.  The whole chain runs
+    in DOUBLE-F32 (exact Dekker products against a split w*phi table,
+    Neumaier sums within the cell and across cells; h^dim multiplications
+    are exact powers of two), reproducing the reference's float64 RHS to
+    ~1 f32 ulp without any f64 on the chip."""
+    nb = c2d.shape[1]
+    n_q = rho.shape[1]
+    # w*phi split into an (hi, lo) f32 pair on host: wq row layout is
+    # (2, n_q, nb) — see assemble_rhs
+    wphi_hi, wphi_lo = wq[0], wq[1]
+    S = jnp.zeros((rho.shape[0], nb), rho.dtype)
+    E = jnp.zeros_like(S)
+    for q in range(n_q):
+        rq = rho[:, q][:, None]
+        t, te = _two_prod(rq, wphi_hi[q][None, :])
+        S, E = _neumaier_step(S, E, t)
+        E = E + te + rq * wphi_lo[q][None, :]
+    hd = hdim[:, None]                    # exact power of two per cell
+    f_hi = S * hd
+    f_lo = E * hd
     lift = (g_full[c2d] @ kref) * hsc[:, None]           # inhomog. BC lift
-    raw = jnp.sum((f_cells - lift).reshape(-1)[d2c], axis=1)
+    fl_hi = (f_hi - lift).reshape(-1)
+    fl_lo = f_lo.reshape(-1)
+    # cross-cell sum over the <= 2^dim contributing cells (== the host's
+    # f64 accumulation at f32 output precision)
+    hi = jnp.zeros(d2c.shape[0], rho.dtype)
+    lo = jnp.zeros_like(hi)
+    for b in range(nb):
+        hi, lo = _neumaier_step(hi, lo, fl_hi[d2c[:, b]])
+        lo = lo + fl_lo[d2c[:, b]]
+    raw = hi + lo
     y = raw + jnp.sum(conT_w * raw[conT_row], axis=1)
     return jnp.where(con_mask, 0.0, y).astype(raw.dtype)  # zero rhs rows
 
