@@ -738,14 +738,22 @@ class Simulation:
             if getattr(self, "_face_plan", None) is None:
                 from coulomb_gmg_tpu.adapt.estimator import build_face_plan
                 self._face_plan = build_face_plan(self.forest)
-            err = estimate(self.forest,
-                           self.forest.dofs_of(cfg.degree).cell2dof,
-                           np.asarray(self.solution),
-                           np.asarray(rho_q) if rho_q is not None else None,
-                           self.tab_rhs.points, self.tab_rhs.weights,
-                           degree=cfg.degree,
-                           use_volume_term=cfg.estimator_volume_term,
-                           plan=self._face_plan)
+            if (self.spmd is not None and not cfg.estimator_volume_term
+                    and cfg.degree == 1):
+                # Kelly face jumps sharded over the device mesh
+                # (parallel/spmd.py:estimate; src/step-50.cc:1020-1090)
+                err = self.spmd.estimate(
+                    self.forest, self.forest.dofs_of(cfg.degree).cell2dof,
+                    np.asarray(self.solution), plan=self._face_plan)
+            else:
+                err = estimate(
+                    self.forest, self.forest.dofs_of(cfg.degree).cell2dof,
+                    np.asarray(self.solution),
+                    np.asarray(rho_q) if rho_q is not None else None,
+                    self.tab_rhs.points, self.tab_rhs.weights,
+                    degree=cfg.degree,
+                    use_volume_term=cfg.estimator_volume_term,
+                    plan=self._face_plan)
             self.error_per_cell = err
             self.flags, thr = mark_cells(err, cfg.refine_fraction_of_max)
         self.pcout("Threshold value for refinement:\t" + sci10(thr))

@@ -297,6 +297,122 @@ class SpmdContext:
         err = fn(*args)
         return float(np.sqrt(np.asarray(err)))
 
+    # --------------------------------------------------- sharded estimator
+
+    def estimate(self, forest, cell2dof, u, plan=None) -> np.ndarray:
+        """Kelly face-jump indicators sharded over the device mesh
+        (round-5 lift of the replicated-host default, VERDICT r4 #8;
+        src/step-50.cc:1020-1090 estimates locally-owned cells per rank).
+
+        Every face category (same-level per axis; coarse-fine per
+        axis/side/subface) is flattened into ONE face list with per-face
+        gradient-table ids; faces are partitioned by the owner of their
+        first (fine) cell, each device integrates its faces' jumps and
+        scatter-adds into a full-length partial, and a psum replicates
+        the result — the compress step of distributed estimation.
+        Identical math to adapt/estimator.py:estimate (f64)."""
+        from coulomb_gmg_tpu.adapt.estimator import (build_face_plan,
+                                                     _face_grad_tables)
+        dim = forest.dim
+        degree = 1 if cell2dof.shape[1] == 2 ** forest.dim else None
+        assert degree == 1, "sharded estimator is Q1-only"
+        if plan is None:
+            plan = build_face_plan(forest)
+        grads, fweights, sub_grads = _face_grad_tables(dim, degree,
+                                                       degree + 1)
+        # ---- unified gradient-table stack
+        tabs, wts, tab_id = [], [], {}
+
+        def tid(G, w):
+            key = id(G)
+            if key not in tab_id:
+                tab_id[key] = len(tabs)
+                tabs.append(np.asarray(G, np.float64))
+                wts.append(np.asarray(w, np.float64))
+            return tab_id[key]
+
+        F_a, F_b, F_ta, F_tb = [], [], [], []
+        for axis in range(dim):
+            sel = plan.sl_axis == axis
+            if sel.any():
+                f_hi, f_lo = 2 * axis + 1, 2 * axis
+                ta = tid(grads[f_hi][:, :, axis], fweights[f_hi])
+                tb = tid(grads[f_lo][:, :, axis], fweights[f_lo])
+                F_a.append(plan.sl_a[sel])
+                F_b.append(plan.sl_b[sel])
+                F_ta.append(np.full(sel.sum(), ta))
+                F_tb.append(np.full(sel.sum(), tb))
+        for axis in range(dim):
+            for sidev in (0, 1):
+                for sub in range(2 ** (dim - 1)):
+                    sel = ((plan.cf_axis == axis) & (plan.cf_side == sidev)
+                           & (plan.cf_sub == sub))
+                    if not sel.any():
+                        continue
+                    f = 2 * axis + sidev
+                    ta = tid(grads[f][:, :, axis], fweights[f])
+                    tb = tid(sub_grads[(f, sub)][:, :, axis], fweights[f])
+                    F_a.append(plan.cf_fine[sel])
+                    F_b.append(plan.cf_coarse[sel])
+                    F_ta.append(np.full(sel.sum(), ta))
+                    F_tb.append(np.full(sel.sum(), tb))
+        n_cells = forest.n_cells
+        if not F_a:
+            return np.zeros(n_cells)
+        F_a = np.concatenate(F_a)
+        F_b = np.concatenate(F_b)
+        F_ta = np.concatenate(F_ta)
+        F_tb = np.concatenate(F_tb)
+        GT = jnp.asarray(np.stack(tabs))               # (n_tab, n_fq, nb)
+        WT = jnp.asarray(np.stack(wts))                # (n_tab, n_fq)
+
+        # ---- partition faces by owner of the (fine) first cell
+        D = self.D
+        owner = self.owners(n_cells)[F_a]
+        counts = np.bincount(owner, minlength=D)
+        E = max(int(counts.max()), 1)
+        faces = np.zeros((D, E, 4), np.int32)
+        valid = np.zeros((D, E), bool)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        order = np.argsort(owner, kind="stable")
+        packed = np.stack([F_a, F_b, F_ta, F_tb], axis=1)[order]
+        for d in range(D):
+            faces[d, : counts[d]] = packed[offs[d]: offs[d + 1]]
+            valid[d, : counts[d]] = True
+
+        u = np.asarray(u, np.float64)
+        ucell = jnp.asarray(u[cell2dof])               # replicated (C, nb)
+        h = jnp.asarray(forest.cell_h())
+        diam = h * np.sqrt(dim)
+        axis = self.axis
+
+        key = ("estimate", dim, faces.shape, ucell.shape, GT.shape)
+        fn = self._progs.get(key)
+        if fn is None:
+            def local(fc, vd, uc, hh, dm, Gt, Wt):
+                fc, vd = fc[0], vd[0]
+                a, b, ta, tb = fc[:, 0], fc[:, 1], fc[:, 2], fc[:, 3]
+                ga = jnp.einsum("eb,eqb->eq", uc[a], Gt[ta]) \
+                    / hh[a][:, None]
+                gb = jnp.einsum("eb,eqb->eq", uc[b], Gt[tb]) \
+                    / hh[b][:, None]
+                Jf = jnp.sum(((ga - gb) ** 2) * Wt[ta], axis=1) \
+                    * hh[a] ** (dim - 1)
+                Jf = jnp.where(vd, Jf, 0.0)
+                eta2 = jnp.zeros(uc.shape[0], uc.dtype)
+                eta2 = eta2.at[a].add(dm[a] * Jf)
+                eta2 = eta2.at[b].add(dm[b] * Jf)
+                return jax.lax.psum(eta2, axis)
+
+            sp = P(self.axis)
+            fn = jax.jit(shard_map(
+                local, mesh=self.mesh, in_specs=(sp, sp) + (P(),) * 5,
+                out_specs=P(), check_rep=False))
+            self._progs[key] = fn
+        eta2 = np.asarray(fn(jnp.asarray(faces), jnp.asarray(valid),
+                             ucell, h, diam, GT, WT))
+        return np.sqrt(eta2)
+
     # --------------------------------------------------- sharded assembly
 
     def build_assembler(self, plan, tab_lap, tab_rhs, has_coeff: bool,
