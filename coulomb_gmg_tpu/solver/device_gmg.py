@@ -614,7 +614,12 @@ def solve_refined_matfree(gmg: StencilGMG, rhs, x0=None, rtol: float = 1e-8,
         # the whole solve per IR pass: ~5 s/pass even with a warm disk
         # cache, measured round 5).  The iteration budget is enforced by
         # the host-side total_k check above.
-        d, k, _, _ = gmg.solve(r64, None, rtol=inner_rtol,
+        # Adaptive inner tolerance: a later pass only needs the REMAINING
+        # gain (tol / current defect), not the full f32 floor — the final
+        # pass typically converges in 2-3 V-cycles instead of 6.
+        need = tol / rnorm
+        inner = min(max(inner_rtol, 0.3 * need), 0.1)
+        d, k, _, _ = gmg.solve(r64, None, rtol=inner,
                                maxiter=maxiter)
         x64 = x64 + np.asarray(d, np.float64)
         total_k += int(k)
