@@ -310,8 +310,12 @@ class Simulation:
                         cfg.nonzero_radius * cfg.r_c,
                         device=self.tpu_device,
                         return_device=keep_dev)
+                    # cycle 0 primes every per-run executable (fresh grid
+                    # buckets through the ~100 s remote compile service) —
+                    # compile time says nothing about pool health, so
+                    # demotion judges cycles > 0 only
                     self.maybe_demote(_time.time() - _t0,
-                                      cfg.demote_hot_stage_s, True)
+                                      cfg.demote_hot_stage_s, cycle > 0)
                 elif self.spmd is not None:
                     # SPMD path: the Morton-tiled production kernel sharded
                     # by cell-block owner (bit-identical to single-device
@@ -349,9 +353,10 @@ class Simulation:
                         else None,
                         device=dens_dev)
                 # elastic placement (see solve): a stalling shared-pool
-                # accelerator demotes subsequent cycles to the host.
+                # accelerator demotes subsequent cycles to the host
+                # (cycle 0 pays the compiles — see the tiles branch above).
                 self.maybe_demote(_time.time() - _t0, cfg.demote_hot_stage_s,
-                                  dens_dev is not None)
+                                  dens_dev is not None and cycle > 0)
             with self.timer.scope("Compute dipole moments"):
                 self.dipole = compute_dipole_moment(self.atoms.positions,
                                                     self.atoms.charges)
