@@ -454,14 +454,26 @@ def density_locality_tiles(forest: Forest, points_ref: np.ndarray,
         out = _tile_call(put(pp), G, put(plan.at), put(plan.wt),
                          n_items=len(pp), **common)
     else:
-        padded, spans, bbs, pos = [], [], [], 0
-        for (i0, i1) in bounds:
-            pc = _bucket_pad(packed_np[i0:i1], pad_tile, budget)
+        # every chunk pads to ONE common bucketed length so the static
+        # span tuple — and with it the whole multi-chunk executable — is
+        # identical across adaptive cycles (chunk lengths vary at block
+        # boundaries every cycle; per-chunk pow2 buckets still shifted
+        # the cumulative offsets and forced a ~40-100 s remote recompile
+        # per cycle at 64k, round-5 measurement)
+        E = _next_pow2(max(i1 - i0 for (i0, i1) in bounds))
+        if E > budget:
+            E = budget
+        padded, spans, bbs = [], [], []
+        for k, (i0, i1) in enumerate(bounds):
+            pc = _bucket_pad(packed_np[i0:i1], pad_tile, E)
+            if len(pc) < E:
+                fill = np.int32((int(pc[-1]) >> 12 << 12) | pad_tile)
+                pc = np.concatenate([pc, np.full(E - len(pc), fill,
+                                                 np.int32)])
             padded.append(pc)
             # padded items add exact zeros to the chunk's own last block
-            spans.append((pos, pos + len(pc)))
+            spans.append((k * E, (k + 1) * E))
             bbs.append((int(plan.blk[i0]), int(plan.blk[i1 - 1]) + 1))
-            pos += len(pc)
         out = _tile_call_multi(put(np.concatenate(padded)), G,
                                put(plan.at), put(plan.wt),
                                put(np.asarray(bbs, np.int32)),
