@@ -148,9 +148,15 @@ class StencilGMG:
             h_c = (pk.h(coords_pad) if ctype == np.int16
                    else pk.i(coords_pad))
             ship_specs.append((l, (h_c, pk.b(mask_pad), pk.b(flags_pad))))
-        cg_h = [pk.i(_pad_idx(g, self.n_pad - 1)) for g, _ in cmaps]
-        cl_h = [pk.i(_pad_idx(ldofs, _pad_n(t.n) - 1))
-                for (_, ldofs), t in zip(cmaps, topos)]
+        # gather-form copy maps (solver/tpu_gmg.py:copy_map_tables)
+        from coulomb_gmg_tpu.solver.tpu_gmg import copy_map_tables
+        cm_levels, src_lvl, src_idx = copy_map_tables(
+            [g for g, _ in cmaps], [ld for _, ld in cmaps], self.n_pad,
+            [_pad_n(t.n) for t in topos])
+        cg_h = [pk.i(l2g) for l2g, _ in cm_levels]
+        cl_h = [pk.b(cmask) for _, cmask in cm_levels]
+        h_src_lvl = pk.i(src_lvl)
+        h_src_idx = pk.i(src_idx)
 
         # ---- system operands (matrix-free outer matvec)
         c2d = dofs.cell2dof
@@ -274,8 +280,10 @@ class StencilGMG:
                       if k[0] in ("slvl", "spro") and k not in touched]:
                 del cache[k]
 
-        self._cg_idx = [views[h] for h in cg_h]
-        self._cl_idx = [views[h] for h in cl_h]
+        self._l2g = [views[h] for h in cg_h]
+        self._cmask = [views[h] != 0 for h in cl_h]
+        self._src_lvl = views[h_src_lvl]
+        self._src_idx = views[h_src_idx]
         self._sys_dev = {k: views[h] for k, h in h_sys.items()}
         kref_dev = put(self._kref_host.astype(self.np_dtype))
         s = self._sys_dev
@@ -313,7 +321,7 @@ class StencilGMG:
                         if ent["ifT_vals"] is not None else None),
                 "P": (pr[0], pr[1]) if pr is not None else None,
                 "R": (pr[2], pr[3]) if pr is not None else None,
-                "cg": self._cg_idx[l], "cl": self._cl_idx[l],
+                "l2g": self._l2g[l], "cmask": self._cmask[l],
             })
         s = self._sys_dev
         sys_tree = {k: s[k] for k in ("c2d", "d2c", "hsc", "kref",
@@ -321,6 +329,7 @@ class StencilGMG:
                                       "con_w_full", "conT_row", "conT_w",
                                       "d_reg")}
         return {"sys": sys_tree, "levels": lv_list,
+                "src_lvl": self._src_lvl, "src_idx": self._src_idx,
                 "dst": ((self.dst_S, self.dst_lam, self.dst_interior,
                          self.dst_boundary) if self.dst is not None
                         else None)}

@@ -103,15 +103,18 @@ def _cheb(ecols, evals, inv_diag, d, x0, theta, delta, degree: int,
     return x
 
 
-@partial(jax.jit, static_argnames=("n_pad",))
-def _copy_to(g, idx_dst, idx_src, n_pad: int):
-    """zeros(n_pad)[idx_dst] = g[idx_src] — copy_to_mg / copy_from_mg."""
-    return jnp.zeros(n_pad, g.dtype).at[idx_dst].set(g[idx_src])
+@jax.jit
+def _copy_to(g, l2g, cmask):
+    """Gather-form copy_to_mg: d_l = cmask ? g[l2g] : 0 (scatters with
+    duplicated pad indices serialize on XLA:TPU — copy_map_tables)."""
+    return jnp.where(cmask, g[l2g], jnp.zeros((), g.dtype))
 
 
 @jax.jit
-def _gather_set(dst, idx_dst, src, idx_src):
-    return dst.at[idx_dst].set(src[idx_src])
+def _copy_from_level(out, src_lvl, src_idx, sol_l, l):
+    """Gather-form copy_from_mg for one level."""
+    idx = jnp.minimum(src_idx, sol_l.shape[0] - 1)
+    return jnp.where(src_lvl == l, sol_l[idx], out)
 
 
 @jax.jit
@@ -387,8 +390,10 @@ def _fused_gmg_cg(rhs, x0, tol, coarse_rtol, flat, *, treedef, degree,
         return x
 
     def vcycle(g):
-        defect = [jnp.zeros(lv["inv_diag"].shape[0], dtype)
-                  .at[lv["cl"]].set(g[lv["cg"]]) for lv in levels]
+        # copy_to/copy_from as PURE GATHERS (copy_map_tables): scatters
+        # with duplicated pad indices serialize on XLA:TPU
+        defect = [jnp.where(lv["cmask"], g[lv["l2g"]],
+                            jnp.zeros((), dtype)) for lv in levels]
         sol = [None] * (L + 1)
         for l in range(L, 0, -1):
             lv = levels[l]
@@ -408,10 +413,10 @@ def _fused_gmg_cg(rhs, x0, tol, coarse_rtol, flat, *, treedef, degree,
                 d = d - _ell_mv_t(lv["ifT"][0], lv["ifT"][1], u)
             sol[l] = cheb_lv(lv, d, u, False)
         out = jnp.zeros(n_pad, dtype)
-        out = out.at[levels[0]["cg"]].set(sol[0][levels[0]["cl"]])
-        for l in range(1, L + 1):
-            lv = levels[l]
-            out = out.at[lv["cg"]].set(sol[l][lv["cl"]])
+        for l in range(L + 1):
+            nl_pad = levels[l]["inv_diag"].shape[0]
+            idx = jnp.minimum(ops["src_idx"], nl_pad - 1)
+            out = jnp.where(ops["src_lvl"] == l, sol[l][idx], out)
         return out
 
     r = rhs - sys_mv(x0)
@@ -491,8 +496,8 @@ class _Level:
     p_vals: Optional[jnp.ndarray]
     r_cols: Optional[jnp.ndarray]     # restriction = P^T (rows = coarser)
     r_vals: Optional[jnp.ndarray]
-    cg_idx: jnp.ndarray         # copy map: global dof ids (padded)
-    cl_idx: jnp.ndarray         # copy map: level dof ids (padded)
+    l2g: jnp.ndarray            # (nl_pad,) level dof -> global dof (gather)
+    cmask: jnp.ndarray          # (nl_pad,) bool: copy-set membership
 
 
 def _to_ell(csr, n_pad: int, np_dtype, k_mult: int = 8):
@@ -556,6 +561,31 @@ def _pad_idx(idx: np.ndarray, pad_value: int) -> np.ndarray:
     out = np.full(m, pad_value, dtype=np.int64)
     out[: len(idx)] = idx
     return out
+
+
+def copy_map_tables(copy_global, copy_level, n_pad: int, nl_pads):
+    """GATHER-form copy maps for the V-cycle transfer (copy_to_mg /
+    copy_from_mg).  The index-list scatter form (`zeros.at[cl].set(g[cg])`
+    with pow2 padding) duplicates the dead index, and XLA:TPU serializes
+    duplicate-index scatters — ~0.15 s per 2M-row copy inside the CG loop
+    (round-5 measurement).  Returns per level (l2g (nl_pad,) int32 with
+    dead -> n_pad-1, cmask (nl_pad,) bool) plus the copy_from resolution
+    (src_lvl (n_pad,) int32 with -1 = untouched, src_idx (n_pad,) int32):
+    later levels overwrite earlier ones exactly as the sequential set
+    order did."""
+    levels = []
+    src_lvl = np.full(n_pad, -1, np.int32)
+    src_idx = np.zeros(n_pad, np.int32)
+    for l, (gpos, ldofs) in enumerate(zip(copy_global, copy_level)):
+        nl_pad = nl_pads[l]
+        l2g = np.full(nl_pad, n_pad - 1, np.int64)
+        l2g[ldofs] = gpos
+        cmask = np.zeros(nl_pad, bool)
+        cmask[ldofs] = True
+        levels.append((l2g, cmask))
+        src_lvl[gpos] = l
+        src_idx[gpos] = ldofs
+    return levels, src_lvl, src_idx
 
 
 class TpuGMG:
@@ -765,9 +795,17 @@ class TpuGMG:
                 a_ell=a_ell, a_inv=a_inv,
                 h_theta=pk.f(theta), h_delta=pk.f(delta),
                 a_if=a_if, a_ifT=a_ifT, a_p=a_p, a_r=a_r,
-                h_cg=pk.i(_pad_idx(gmg.copy_global[l], self.n_pad - 1)),
-                h_cl=pk.i(_pad_idx(gmg.copy_level[l], nl_pad - 1)),
             ))
+
+        # gather-form copy maps (see copy_map_tables)
+        cm_levels, src_lvl, src_idx = copy_map_tables(
+            gmg.copy_global, gmg.copy_level, self.n_pad,
+            [sp["n_pad"] for sp in level_specs])
+        for sp, (l2g, cmask) in zip(level_specs, cm_levels):
+            sp["h_l2g"] = pk.i(l2g)
+            sp["h_cm"] = pk.b(cmask)
+        h_src_lvl = pk.i(src_lvl)
+        h_src_idx = pk.i(src_idx)
 
         # evict cache entries not referenced by this build: fine-level
         # CSRs are rebuilt every adaptive cycle, so their superseded
@@ -845,8 +883,10 @@ class TpuGMG:
                 inv_diag=inv, theta=v(sp["h_theta"]),
                 delta=v(sp["h_delta"]), if_cols=ic, if_vals=iv,
                 ifT_cols=itc, ifT_vals=itv, p_cols=pc, p_vals=pv,
-                r_cols=rc, r_vals=rv, cg_idx=v(sp["h_cg"]),
-                cl_idx=v(sp["h_cl"])))
+                r_cols=rc, r_vals=rv, l2g=v(sp["h_l2g"]),
+                cmask=(v(sp["h_cm"]) != 0)))
+        self.src_lvl = v(h_src_lvl)
+        self.src_idx = v(h_src_idx)
         if self._debug and any(self._lvl_ship_stats):
             print(f"[tpu_gmg] level ops reused/delta/packed: "
                   f"{self._lvl_ship_stats}", flush=True)
@@ -894,8 +934,7 @@ class TpuGMG:
     def vcycle(self, g):
         """One V-cycle on the padded global defect g (device array)."""
         L = len(self.levels) - 1
-        defect = [_copy_to(g, lv.cl_idx, lv.cg_idx, n_pad=lv.n_pad)
-                  for lv in self.levels]
+        defect = [_copy_to(g, lv.l2g, lv.cmask) for lv in self.levels]
         sol = [None] * (L + 1)
         for l in range(L, 0, -1):
             lv = self.levels[l]
@@ -916,11 +955,10 @@ class TpuGMG:
                 d = d - _mv(lv.ifT_cols, lv.ifT_vals, u)
             sol[l] = _cheb(lv.ecols, lv.evals, lv.inv_diag, d, u,
                            lv.theta, lv.delta, degree=self.degree)
-        lv = self.levels[0]
-        out = _copy_to(sol[0], lv.cg_idx, lv.cl_idx, n_pad=self.n_pad)
-        for l in range(1, L + 1):
-            lv = self.levels[l]
-            out = _gather_set(out, lv.cg_idx, sol[l], lv.cl_idx)
+        out = jnp.zeros(self.n_pad, sol[0].dtype)
+        for l in range(L + 1):
+            out = _copy_from_level(out, self.src_lvl, self.src_idx,
+                                   sol[l], l)
         return out
 
     # ------------------------------------------------------------- fused
@@ -942,9 +980,10 @@ class TpuGMG:
                       else None),
                 "R": ((lv.r_cols, lv.r_vals) if lv.r_cols is not None
                       else None),
-                "cg": lv.cg_idx, "cl": lv.cl_idx,
+                "l2g": lv.l2g, "cmask": lv.cmask,
             })
         tree = {"sys": (self.sys_cols, self.sys_vals), "levels": lv_list,
+                "src_lvl": self.src_lvl, "src_idx": self.src_idx,
                 "dst": ((self.dst_S, self.dst_lam, self.dst_interior,
                          self.dst_boundary) if self.dst is not None
                         else None)}

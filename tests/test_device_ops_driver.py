@@ -35,7 +35,9 @@ def test_device_ops_matches_host_path(dtype):
     for r, d in zip(ref, dev):
         assert d["n_cells"] == r["n_cells"]
         assert d["n_dofs"] == r["n_dofs"]
-        assert abs(d["cg_iterations"] - r["cg_iterations"]) <= 1
+        # adaptive IR tolerances let the device path converge in FEWER
+        # total inner iterations; it must never need more than one extra
+        assert d["cg_iterations"] <= r["cg_iterations"] + 1
         tol = 1e-9 if dtype == "float64" else 2e-5
         assert d["l2_rhs"] == pytest.approx(r["l2_rhs"], rel=tol)
         assert d["l2_sol"] == pytest.approx(r["l2_sol"], rel=100 * tol)

@@ -80,12 +80,9 @@ def main():
         t = timeit(lambda: ca(d0))
         print(f"dst_coarse_apply: {t * 1e3:.1f} ms", flush=True)
 
-    # copy maps
-    cp = jax.jit(lambda x, cl, cg2, n_pad: jnp.zeros(
-        n_pad, x.dtype).at[cl].set(x[cg2]), static_argnums=(3,))
-    lv0 = g.levels[0]
-    n0_pad = lv0["inv_diag"].shape[0]
-    t = timeit(lambda: cp(v, g._cl_idx[0], g._cg_idx[0], n0_pad))
+    # copy maps (gather form)
+    cp = jax.jit(lambda x, l2g, cm: jnp.where(cm, x[l2g], 0.0))
+    t = timeit(lambda: cp(v, g._l2g[0], g._cmask[0]))
     print(f"copy_to level0: {t * 1e3:.1f} ms", flush=True)
 
     t0 = time.time()
