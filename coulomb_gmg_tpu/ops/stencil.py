@@ -262,8 +262,10 @@ def build_level_ops(coords, mask8, elim, iface, bnd, n, T, *, dim, side,
     inv_diag = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0),
                          jnp.ones((), np_dtype))
 
+    # all ELL outputs are TRANSPOSED (K3, n_pad): gathers with a narrow
+    # minor index dimension run ~500x slower on XLA:TPU (CLAUDE.md r5)
     if not want_iface:
-        return cols, evals, inv_diag
+        return cols.T, evals.T, inv_diag
 
     # interface matrix: keep (i edge, j non-edge, neither boundary)
     ifc_j = jnp.where(valid, iface[cols], False)
@@ -284,7 +286,7 @@ def build_level_ops(coords, mask8, elim, iface, bnd, n, T, *, dim, side,
                 & ~jnp.where(valid, bnd[i_of], True) & ~bnd[:, None]
                 & row_ok[:, None])
     ifT_vals = jnp.where(keep_ifT, rawT, jnp.zeros((), np_dtype))
-    return cols, evals, inv_diag, if_vals, ifT_vals
+    return cols.T, evals.T, inv_diag, if_vals.T, ifT_vals.T
 
 
 @partial(jax.jit, static_argnames=("dim", "side_c", "np_dtype"))
@@ -344,14 +346,16 @@ def build_prolongation_ops(coords_f, n_f, coords_c, n_c, *, dim, side_c,
     r_cols = jnp.where(ok_r, r_idx, 0)
     r_vals = jnp.where(ok_r, jnp.broadcast_to(r_w, (n_pad_c, K3)),
                        jnp.zeros((), np_dtype))
-    return p_cols, p_vals, r_cols, r_vals
+    # transposed (K, n_pad) — see build_level_ops
+    return p_cols.T, p_vals.T, r_cols.T, r_vals.T
 
 
 @partial(jax.jit, static_argnames=("iters",))
 def power_lmax_device(ecols, evals, inv_diag, n, iters: int = 15):
     """lambda_max(D^{-1} A) by device power iteration (the on-device twin
-    of solver/tpu_gmg.py:_power_lmax; deterministic hash-based start)."""
-    n_pad = ecols.shape[0]
+    of solver/tpu_gmg.py:_power_lmax; deterministic hash-based start).
+    Operands in transposed (K, n_pad) ELL layout."""
+    n_pad = ecols.shape[1]
     i = jax.lax.iota(jnp.uint32, n_pad)
     v = ((i * jnp.uint32(2654435761) >> 8).astype(evals.dtype)
          / jnp.asarray(2 ** 24, evals.dtype) - 0.5)
@@ -360,7 +364,7 @@ def power_lmax_device(ecols, evals, inv_diag, n, iters: int = 15):
 
     def body(_, carry):
         v, lam = carry
-        w = inv_diag * jnp.sum(evals * v[ecols], axis=1)
+        w = inv_diag * jnp.sum(evals * v[ecols], axis=0)
         lam = jnp.linalg.norm(w)
         return jnp.where(lam > 0, w / jnp.where(lam > 0, lam, 1.0), v), lam
 

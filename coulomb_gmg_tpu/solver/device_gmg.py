@@ -168,6 +168,9 @@ class StencilGMG:
         self._C_pad = C_pad
         c2d_pad = np.full((C_pad, nb), self.n_pad - 1, np.int64)
         c2d_pad[:C] = c2d
+        # TRANSPOSED (nb, C_pad) on device: narrow-minor index gathers run
+        # ~500x slower on XLA:TPU (CLAUDE.md r5)
+        c2dT = np.ascontiguousarray(c2d_pad.T)
         hsc = np.zeros(C_pad, np.float64)
         hsc[:C] = forest.cell_h() ** (dim - 2)
         hdim = np.zeros(C_pad, np.float64)
@@ -196,7 +199,7 @@ class StencilGMG:
         if ncon and len(constraints.cols):
             Kt = int(np.bincount(constraints.cols).max())
         self._Kt = _round_up(max(Kt, 1), 4)
-        h_sys = dict(c2d=pk.i(c2d_pad), hsc=pk.f(hsc), hdim=pk.f(hdim),
+        h_sys = dict(c2d=pk.i(c2dT), hsc=pk.f(hsc), hdim=pk.f(hdim),
                      con_rows=pk.i(cr_pad), con_cols=pk.i(cc_pad),
                      con_w=pk.f(cw_pad), con_g=pk.f(cg_pad))
         self._host_sys = dict(c2d=c2d, hsc=hsc[:C], con_rows=con_rows,
@@ -453,22 +456,25 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnames=("n_pad",))
-def _build_d2c(c2d, n_pad: int):
-    """Transpose of cell2dof as a gather table: d2c[i, slot] = flat entry
-    position in the (C_pad * nb) cell-local value array contributing to
-    dof i (a vertex touches <= 2^dim cells), dead slots -> the LAST flat
-    entry, which belongs to a guaranteed pad cell (hsc = 0, so its value
-    is always exactly zero).  Built on device once per topology; turns
-    every cell->dof accumulation into a gather-sum (no runtime scatter)."""
-    C_pad, nb = c2d.shape
-    flat = c2d.reshape(-1).astype(jnp.int32)
+def _build_d2c(c2dT, n_pad: int):
+    """Transpose of cell2dof as a gather table: d2c[slot, i] = flat entry
+    position in the (nb * C_pad) TRANSPOSED cell-local value array
+    contributing to dof i (a vertex touches <= 2^dim cells), dead slots
+    -> a guaranteed pad-cell entry (hsc = 0, so its value is always
+    exactly zero).  Built on device once per topology; turns every
+    cell->dof accumulation into a gather-sum (no runtime scatter).
+    Input and output in transposed (nb, N) layout."""
+    nb, C_pad = c2dT.shape
+    flat = c2dT.reshape(-1).astype(jnp.int32)       # layout a*C_pad + c
     order = jnp.argsort(flat, stable=True).astype(jnp.int32)
     sortedv = flat[order]
     rows = jnp.arange(n_pad, dtype=jnp.int32)
     start = jnp.searchsorted(sortedv, rows).astype(jnp.int32)
-    pos = start[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :]
+    pos = start[None, :] + jnp.arange(nb, dtype=jnp.int32)[:, None]
     pos_c = jnp.minimum(pos, flat.shape[0] - 1)
-    valid = (sortedv[pos_c] == rows[:, None]) & (pos < flat.shape[0])
+    valid = (sortedv[pos_c] == rows[None, :]) & (pos < flat.shape[0])
+    # the last pad cell's entry lives at column C_pad-1 of every row; use
+    # the final flat position of the LAST row (a pad-cell entry)
     return jnp.where(valid, order[pos_c], flat.shape[0] - 1)
 
 
@@ -494,8 +500,10 @@ def _build_con_tables(con_rows, con_cols, con_w, con_g, n_pad: int,
     idx = jnp.full(n_pad, ncon_pad - 1, jnp.int32).at[con_rows].set(
         jnp.arange(ncon_pad, dtype=jnp.int32))
     idx = jnp.where(mask, idx, ncon_pad - 1)
-    ccf = con_cols[idx]
-    cwf = jnp.where(mask[:, None], con_w[idx], 0.0).astype(con_w.dtype)
+    # all full-width tables TRANSPOSED (K, n_pad) — narrow-minor index
+    # gathers are ~500x slower on XLA:TPU (CLAUDE.md r5)
+    ccf = con_cols[idx].T
+    cwf = jnp.where(mask[None, :], con_w[idx].T, 0.0).astype(con_w.dtype)
     gf = (jnp.zeros(n_pad, con_w.dtype).at[con_rows].set(con_g)
           .at[dead].set(0.0))
     flat_cols = con_cols.reshape(-1).astype(jnp.int32)
@@ -505,14 +513,14 @@ def _build_con_tables(con_rows, con_cols, con_w, con_g, n_pad: int,
     sc = flat_cols[order]
     rows = jnp.arange(n_pad, dtype=jnp.int32)
     start = jnp.searchsorted(sc, rows).astype(jnp.int32)
-    pos = start[:, None] + jnp.arange(Kt, dtype=jnp.int32)[None, :]
+    pos = start[None, :] + jnp.arange(Kt, dtype=jnp.int32)[:, None]
     pos_c = jnp.minimum(pos, sc.shape[0] - 1)
-    valid = (sc[pos_c] == rows[:, None]) & (pos < sc.shape[0])
+    valid = (sc[pos_c] == rows[None, :]) & (pos < sc.shape[0])
     src = jnp.where(valid, order[pos_c], sc.shape[0] - 1)
     tr = flat_row[src]
     tw = jnp.where(valid, flat_w[src], 0.0).astype(con_w.dtype)
     # the dead dof's own slots reference only pad entries (zero weight)
-    tw = jnp.where(rows[:, None] == dead, 0.0, tw).astype(con_w.dtype)
+    tw = jnp.where(rows[None, :] == dead, 0.0, tw).astype(con_w.dtype)
     return mask, ccf, cwf, gf, tr, tw
 
 
@@ -558,42 +566,43 @@ def _rhs_device(rho, wq, phi, hdim, c2d, d2c, hsc, kref, g_full, con_mask,
     Neumaier sums within the cell and across cells; h^dim multiplications
     are exact powers of two), reproducing the reference's float64 RHS to
     ~1 f32 ulp without any f64 on the chip."""
-    nb = c2d.shape[1]
+    nb = c2d.shape[0]                     # c2d is TRANSPOSED (nb, C_pad)
     n_q = rho.shape[1]
+    rhoT = rho.T                          # (n_q, C_pad)
     # w*phi split into an (hi, lo) f32 pair on host: wq row layout is
     # (2, n_q, nb) — see assemble_rhs
     wphi_hi, wphi_lo = wq[0], wq[1]
-    S = jnp.zeros((rho.shape[0], nb), rho.dtype)
+    S = jnp.zeros((nb, rhoT.shape[1]), rho.dtype)    # (nb, C_pad)
     E = jnp.zeros_like(S)
     for q in range(n_q):
-        rq = rho[:, q][:, None]
-        t, te = _two_prod(rq, wphi_hi[q][None, :])
+        rq = rhoT[q][None, :]
+        t, te = _two_prod(rq, wphi_hi[q][:, None])
         S, E = _neumaier_step(S, E, t)
-        E = E + te + rq * wphi_lo[q][None, :]
-    hd = hdim[:, None]                    # exact power of two per cell
+        E = E + te + rq * wphi_lo[q][:, None]
+    hd = hdim[None, :]                    # exact power of two per cell
     f_hi = S * hd
     f_lo = E * hd
-    lift = (g_full[c2d] @ kref) * hsc[:, None]           # inhomog. BC lift
+    lift = (kref @ g_full[c2d]) * hsc[None, :]           # inhomog. BC lift
     fl_hi = (f_hi - lift).reshape(-1)
     fl_lo = f_lo.reshape(-1)
     # cross-cell sum over the <= 2^dim contributing cells (== the host's
-    # f64 accumulation at f32 output precision)
-    hi = jnp.zeros(d2c.shape[0], rho.dtype)
+    # f64 accumulation at f32 output precision); d2c is (nb, n_pad)
+    hi = jnp.zeros(d2c.shape[1], rho.dtype)
     lo = jnp.zeros_like(hi)
     for b in range(nb):
-        hi, lo = _neumaier_step(hi, lo, fl_hi[d2c[:, b]])
-        lo = lo + fl_lo[d2c[:, b]]
+        hi, lo = _neumaier_step(hi, lo, fl_hi[d2c[b]])
+        lo = lo + fl_lo[d2c[b]]
     raw = hi + lo
-    y = raw + jnp.sum(conT_w * raw[conT_row], axis=1)
+    y = raw + jnp.sum(conT_w * raw[conT_row], axis=0)
     return jnp.where(con_mask, 0.0, y).astype(raw.dtype)  # zero rhs rows
 
 
 @jax.jit
-def _raw_diag(c2d, d2c, hsc, kref):
-    del c2d
+def _raw_diag(c2dT, d2cT, hsc, kref):
+    del c2dT
     kd = jnp.diagonal(kref)
-    vals = (kd[None, :] * hsc[:, None]).reshape(-1)
-    return jnp.sum(vals[d2c], axis=1)
+    vals = (kd[:, None] * hsc[None, :]).reshape(-1)   # (nb, C_pad) flat
+    return jnp.sum(vals[d2cT], axis=0)
 
 
 def solve_refined_matfree(gmg: StencilGMG, rhs, x0=None, rtol: float = 1e-8,

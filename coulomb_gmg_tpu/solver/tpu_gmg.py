@@ -66,12 +66,15 @@ def _round_up(n: int, m: int) -> int:
 
 @jax.jit
 def _mv(ecols, evals, x):
-    return jnp.sum(evals * x[ecols], axis=1)
+    # ELL operands are (K, n_pad) TRANSPOSED: gathers with a narrow minor
+    # index dimension run ~500x slower on XLA:TPU (round-5 measurement:
+    # (2^20, 8) index gather 34.4 s vs (8, 2^20) 63 ms)
+    return jnp.sum(evals * x[ecols], axis=0)
 
 
 @jax.jit
 def _residual(ecols, evals, d, x):
-    return d - jnp.sum(evals * x[ecols], axis=1)
+    return d - jnp.sum(evals * x[ecols], axis=0)
 
 
 @partial(jax.jit, static_argnames=("degree", "from_zero"))
@@ -82,7 +85,7 @@ def _cheb(ecols, evals, inv_diag, d, x0, theta, delta, degree: int,
     recompile when eigenvalue estimates change across cycles).
     from_zero=True skips the initial residual matvec (x0 ignored)."""
     def amv(v):
-        return jnp.sum(evals * v[ecols], axis=1)
+        return jnp.sum(evals * v[ecols], axis=0)
 
     if from_zero:
         r = inv_diag * d
@@ -121,7 +124,7 @@ def _copy_from_level(out, src_lvl, src_idx, sol_l, l):
 def _scatter_add_mv(ecols, evals, r, out):
     """out += A^T-style ELL matvec — used for restriction where the ELL is
     prebuilt for the TRANSPOSED operator, so it is a plain gather mv."""
-    return out + jnp.sum(evals * r[ecols], axis=1)
+    return out + jnp.sum(evals * r[ecols], axis=0)
 
 
 @jax.jit
@@ -150,7 +153,7 @@ def _cg_update(ecols, evals, x, r, p, rho):
     No eager scalar ops, no host syncs.  Division guards keep the iteration
     STATIONARY after convergence — block-wise convergence checks mean a few
     extra iterations run past the solution, which must not 0/0-poison x."""
-    q = jnp.sum(evals * p[ecols], axis=1)
+    q = jnp.sum(evals * p[ecols], axis=0)
     denom = jnp.vdot(p, q)
     alpha = jnp.where(denom != 0, rho / jnp.where(denom != 0, denom, 1), 0.0)
     x = x + alpha * p
@@ -249,7 +252,7 @@ class _Packer:
 # ---------------------------------------------------------------------------
 
 def _ell_mv_t(cols, vals, x):
-    return jnp.sum(vals * x[cols], axis=1)
+    return jnp.sum(vals * x[cols], axis=0)
 
 
 def cellwise_mv(s, v):
@@ -276,12 +279,12 @@ def cellwise_mv(s, v):
     expansion (dof -> constrained rows referencing it), d_reg (n_pad,)
     raw diagonal.
     """
-    wr = jnp.sum(s["con_w_full"] * v[s["con_cols_full"]], axis=1)
+    wr = jnp.sum(s["con_w_full"] * v[s["con_cols_full"]], axis=0)
     w = jnp.where(s["con_mask"], wr, v)
-    xl = w[s["c2d"]]                                   # (C_pad, nb)
-    yl = ((xl @ s["kref"]) * s["hsc"][:, None]).reshape(-1)
-    z = jnp.sum(yl[s["d2c"]], axis=1)                  # transposed gather
-    y = z + jnp.sum(s["conT_w"] * z[s["conT_row"]], axis=1)
+    xlT = w[s["c2d"]]                                  # (nb, C_pad)
+    ylT = ((s["kref"] @ xlT) * s["hsc"][None, :]).reshape(-1)
+    z = jnp.sum(ylT[s["d2c"]], axis=0)                 # transposed gather
+    y = z + jnp.sum(s["conT_w"] * z[s["conT_row"]], axis=0)
     return jnp.where(s["con_mask"], s["d_reg"] * v, y)
 
 
@@ -509,7 +512,8 @@ def _to_ell(csr, n_pad: int, np_dtype, k_mult: int = 8):
     e = ELL.from_csr(csr.indptr, np.asarray(csr.indices),
                      np.asarray(csr.data, np_dtype), n_cols=csr.n_cols,
                      pad_rows_to=n_pad, pad_k_to=K)
-    return e.cols, e.vals
+    # TRANSPOSED (K, n_pad) device layout — see _mv
+    return np.ascontiguousarray(e.cols.T), np.ascontiguousarray(e.vals.T)
 
 
 def _transpose_coo(rowids, cols, data, n_rows_T: int):
@@ -643,18 +647,20 @@ class TpuGMG:
                 and prev_h[0].shape == sc.shape
                 and prev.sys_cols is not None):
             changed = np.flatnonzero(
-                np.any(sc != prev_h[0], axis=1)
-                | np.any(sv != prev_h[1], axis=1))
-            if len(changed) <= sc.shape[0] // 4:
+                np.any(sc != prev_h[0], axis=0)
+                | np.any(sv != prev_h[1], axis=0))
+            if len(changed) <= sc.shape[1] // 4:
                 idx = jax.device_put(changed.astype(np.int32), device)
-                self.sys_cols = prev.sys_cols.at[idx].set(
-                    jax.device_put(sc[changed], device))
-                self.sys_vals = prev.sys_vals.at[idx].set(
-                    jax.device_put(sv[changed], device))
+                self.sys_cols = prev.sys_cols.at[:, idx].set(
+                    jax.device_put(np.ascontiguousarray(sc[:, changed]),
+                                   device))
+                self.sys_vals = prev.sys_vals.at[:, idx].set(
+                    jax.device_put(np.ascontiguousarray(sv[:, changed]),
+                                   device))
                 self._sys_delta_rows = len(changed)
                 if self._debug:
                     print(f"[tpu_gmg] sys ELL delta rows {len(changed)}"
-                          f"/{sc.shape[0]}", flush=True)
+                          f"/{sc.shape[1]}", flush=True)
         if self.sys_cols is None:
             h_sys = (pk.i(sc), pk.f(sv))
 
@@ -689,13 +695,13 @@ class TpuGMG:
                     return ("reuse", pd)
                 if ph[0].shape == cols.shape:
                     changed = np.flatnonzero(
-                        np.any(cols != ph[0], axis=1)
-                        | np.any(vals != ph[1], axis=1))
-                    if len(changed) <= cols.shape[0] // 4:
+                        np.any(cols != ph[0], axis=0)
+                        | np.any(vals != ph[1], axis=0))
+                    if len(changed) <= cols.shape[1] // 4:
                         self._lvl_ship_stats[1] += 1
                         return ("delta", pd, changed.astype(np.int32),
-                                np.ascontiguousarray(cols[changed]),
-                                np.ascontiguousarray(vals[changed]))
+                                np.ascontiguousarray(cols[:, changed]),
+                                np.ascontiguousarray(vals[:, changed]))
             self._lvl_ship_stats[2] += 1
             return ("pack", (pk.i(cols), pk.f(vals)))
 
@@ -858,8 +864,8 @@ class TpuGMG:
                 return act[1]
             _, pd, idx, cnew, vnew = act
             di = jax.device_put(idx, device)
-            return (pd[0].at[di].set(jax.device_put(cnew, device)),
-                    pd[1].at[di].set(jax.device_put(vnew, device)))
+            return (pd[0].at[:, di].set(jax.device_put(cnew, device)),
+                    pd[1].at[:, di].set(jax.device_put(vnew, device)))
 
         def r1(act):
             return act[1] if act[0] == "reuse1" else views[act[1]]

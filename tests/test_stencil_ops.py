@@ -32,7 +32,8 @@ def _adaptive_forest(dim, reps=6, cycles=2, seed=0):
 
 
 def _ell_mv(cols, vals, x):
-    return np.sum(np.asarray(vals) * np.asarray(x)[np.asarray(cols)], axis=1)
+    # device ops return TRANSPOSED (K, n) ELLs (CLAUDE.md r5 gather note)
+    return np.sum(np.asarray(vals) * np.asarray(x)[np.asarray(cols)], axis=0)
 
 
 @pytest.mark.parametrize("dim", [2, 3])
@@ -137,8 +138,8 @@ def test_padding_rows_are_inert():
         jnp.asarray(coords), jnp.asarray(z8), jnp.asarray(bl(t.elim)),
         jnp.asarray(bl(t.iface)), jnp.asarray(bl(t.boundary)), t.n, T,
         dim=dim, side=t.side, h=t.h, want_iface=True, np_dtype=jnp.float64)
-    assert not np.asarray(evals)[t.n:].any()
-    assert not np.asarray(if_vals)[t.n:].any()
+    assert not np.asarray(evals)[:, t.n:].any()
+    assert not np.asarray(if_vals)[:, t.n:].any()
     assert (np.asarray(cols) < n_pad).all() and (np.asarray(cols) >= 0).all()
     # real rows unchanged vs unpadded build
     cols0, evals0, *_ = build_level_ops(
