@@ -156,7 +156,7 @@ def main():
     cfgf = golden_gaussian_config(n_adaptive_cycles=2, flag_output_time=False,
                                   mesh_size_h=0.5, vacuum_repetitions=4,
                                   dtype="float32",
-                                 device_operators=\"off\")
+                                 device_operators="off")
     simf = Simulation(cfgf, atoms=two_atom_pair(), pcout=Pcout(enabled=False))
     simf.run()
     rhsf = np.asarray(simf.rhs)
