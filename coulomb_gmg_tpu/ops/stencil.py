@@ -238,55 +238,55 @@ def build_level_ops(coords, mask8, elim, iface, bnd, n, T, *, dim, side,
     center = (K3 - 1) // 2
     scale = jnp.asarray(float(h) ** (dim - 2), np_dtype)
 
+    # everything runs in TRANSPOSED (K3, n_pad) orientation: gathers with
+    # a narrow minor index dimension are ~500x slower on XLA:TPU
     khi, klo = _split_keys(coords, side)
     c32 = coords.astype(jnp.int32)
-    nq = c32[:, None, :] + offs[None, :, :]              # (n_pad, K3, dim)
+    nq = offs[:, None, :] + c32[None, :, :]              # (K3, n_pad, dim)
     in_box = ((nq >= 0) & (nq <= side)).all(-1)
     qhi, qlo = _split_keys(jnp.where(in_box[..., None], nq, 0), side)
-    idx = _lookup(khi, klo, qhi.reshape(-1), qlo.reshape(-1), n,
-                  steps).reshape(n_pad, K3)
+    idx = _lookup(khi, klo, qhi, qlo, n, steps)          # (K3, n_pad)
     valid = in_box & (idx >= 0)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, K3), 0)
-    row_ok = rows[:, 0] < n
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K3, n_pad), 1)
+    row_ok = rows[0] < n
     cols = jnp.where(valid, idx, rows)                   # self for padding
-    raw = scale * T[mask8.astype(jnp.int32)]             # (n_pad, K3)
+    raw = scale * T.T[:, mask8.astype(jnp.int32)]        # (K3, n_pad)
     raw = jnp.where(valid, raw, jnp.zeros((), np_dtype))
 
     elim_j = jnp.where(valid, elim[cols], True)
-    is_center = jax.lax.broadcasted_iota(jnp.int32, (n_pad, K3), 1) == center
-    keep = is_center | (~elim[:, None] & ~elim_j)
-    evals = jnp.where(keep & row_ok[:, None], raw, jnp.zeros((), np_dtype))
+    is_center = (jax.lax.broadcasted_iota(jnp.int32, (K3, n_pad), 0)
+                 == center)
+    keep = is_center | (~elim[None, :] & ~elim_j)
+    evals = jnp.where(keep & row_ok[None, :], raw, jnp.zeros((), np_dtype))
 
-    diag = evals[:, center]
+    diag = evals[center]
     inv_diag = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0),
                          jnp.ones((), np_dtype))
 
-    # all ELL outputs are TRANSPOSED (K3, n_pad): gathers with a narrow
-    # minor index dimension run ~500x slower on XLA:TPU (CLAUDE.md r5)
     if not want_iface:
-        return cols.T, evals.T, inv_diag
+        return cols, evals, inv_diag
 
     # interface matrix: keep (i edge, j non-edge, neither boundary)
     ifc_j = jnp.where(valid, iface[cols], False)
     bnd_j = jnp.where(valid, bnd[cols], True)
-    keep_if = (iface[:, None] & ~ifc_j & ~bnd[:, None] & ~bnd_j
-               & row_ok[:, None])
+    keep_if = (iface[None, :] & ~ifc_j & ~bnd[None, :] & ~bnd_j
+               & row_ok[None, :])
     if_vals = jnp.where(keep_if, raw, jnp.zeros((), np_dtype))
 
-    # transpose: entry (j, o) = A_if[i, j] with i = j + offs[o]; the value
+    # transpose: entry (o, j) = A_if[i, j] with i = j + offs[o]; the value
     # is the RAW stencil of i at the reversed offset, under the same keep
     # mask evaluated at (i, j).
-    rev = K3 - 1 - jax.lax.broadcasted_iota(jnp.int32, (n_pad, K3), 1)
+    rev = K3 - 1 - jax.lax.broadcasted_iota(jnp.int32, (K3, n_pad), 0)
     i_of = cols                                          # i = node at +offs
     mask_i = mask8.astype(jnp.int32)[i_of]
     rawT = scale * T[mask_i, rev]
     rawT = jnp.where(valid, rawT, jnp.zeros((), np_dtype))
-    keep_ifT = (jnp.where(valid, iface[i_of], False) & ~iface[:, None]
-                & ~jnp.where(valid, bnd[i_of], True) & ~bnd[:, None]
-                & row_ok[:, None])
+    keep_ifT = (jnp.where(valid, iface[i_of], False) & ~iface[None, :]
+                & ~jnp.where(valid, bnd[i_of], True) & ~bnd[None, :]
+                & row_ok[None, :])
     ifT_vals = jnp.where(keep_ifT, rawT, jnp.zeros((), np_dtype))
-    return cols.T, evals.T, inv_diag, if_vals.T, ifT_vals.T
+    return cols, evals, inv_diag, if_vals, ifT_vals
 
 
 @partial(jax.jit, static_argnames=("dim", "side_c", "np_dtype"))
@@ -308,7 +308,8 @@ def build_prolongation_ops(coords_f, n_f, coords_c, n_c, *, dim, side_c,
     side_f = 2 * side_c
     khi_f, klo_f = _split_keys(coords_f, side_f)
 
-    # ---- P: (n_pad_f, 2^dim)
+    # transposed (K, n_pad) orientation throughout — see build_level_ops
+    # ---- P: (2^dim, n_pad_f)
     cf = coords_f.astype(jnp.int32)
     nbp = 2 ** dim
     corners = jnp.asarray(corner_offsets(dim), jnp.int32)  # (nbp, dim) 0/1
@@ -316,38 +317,35 @@ def build_prolongation_ops(coords_f, n_f, coords_c, n_c, *, dim, side_c,
     base = cf >> 1
     # slot b: master coord = base + bit_d(b) * odd_d; weight
     # prod(odd ? 1/2 : (bit == 0)) — even axes only emit at bit 0.
-    m_coord = base[:, None, :] + corners[None, :, :] * odd[:, None, :]
-    w_axis = jnp.where(odd[:, None, :] == 1,
+    m_coord = base[None, :, :] + corners[:, None, :] * odd[None, :, :]
+    w_axis = jnp.where(odd[None, :, :] == 1,
                        jnp.full((), 0.5, np_dtype),
-                       (corners[None, :, :] == 0).astype(np_dtype))
-    p_w = jnp.prod(w_axis, axis=-1)                        # (n_pad_f, nbp)
+                       (corners[:, None, :] == 0).astype(np_dtype))
+    p_w = jnp.prod(w_axis, axis=-1)                        # (nbp, n_pad_f)
     qhi, qlo = _split_keys(m_coord, side_c)
-    p_idx = _lookup(khi_c, klo_c, qhi.reshape(-1), qlo.reshape(-1), n_c,
-                    steps_c).reshape(n_pad_f, nbp)
-    rows_f = jax.lax.broadcasted_iota(jnp.int32, (n_pad_f, nbp), 0)
-    ok = (p_idx >= 0) & (p_w != 0) & (rows_f[:, 0] < n_f)[:, None]
+    p_idx = _lookup(khi_c, klo_c, qhi, qlo, n_c, steps_c)  # (nbp, n_pad_f)
+    rows_f = jax.lax.broadcasted_iota(jnp.int32, (nbp, n_pad_f), 1)
+    ok = (p_idx >= 0) & (p_w != 0) & (rows_f[0] < n_f)[None, :]
     p_cols = jnp.where(ok, p_idx, 0)
     p_vals = jnp.where(ok, p_w, jnp.zeros((), np_dtype))
 
-    # ---- R = P^T: (n_pad_c, 3^dim)
+    # ---- R = P^T: (3^dim, n_pad_c)
     offs = jnp.asarray(offset3(dim), jnp.int32)
     K3 = offs.shape[0]
     cc = coords_c.astype(jnp.int32)
-    fq = 2 * cc[:, None, :] + offs[None, :, :]
+    fq = 2 * cc[None, :, :] + offs[:, None, :]
     in_box = ((fq >= 0) & (fq <= side_f)).all(-1)
-    r_w = jnp.prod(jnp.where(offs[None, :, :] == 0,
+    r_w = jnp.prod(jnp.where(offs[:, None, :] == 0,
                              jnp.ones((), np_dtype),
                              jnp.full((), 0.5, np_dtype)), axis=-1)
     qhi, qlo = _split_keys(jnp.where(in_box[..., None], fq, 0), side_f)
-    r_idx = _lookup(khi_f, klo_f, qhi.reshape(-1), qlo.reshape(-1), n_f,
-                    steps_f).reshape(n_pad_c, K3)
-    rows_c = jax.lax.broadcasted_iota(jnp.int32, (n_pad_c, K3), 0)
-    ok_r = in_box & (r_idx >= 0) & (rows_c[:, 0] < n_c)[:, None]
+    r_idx = _lookup(khi_f, klo_f, qhi, qlo, n_f, steps_f)  # (K3, n_pad_c)
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (K3, n_pad_c), 1)
+    ok_r = in_box & (r_idx >= 0) & (rows_c[0] < n_c)[None, :]
     r_cols = jnp.where(ok_r, r_idx, 0)
-    r_vals = jnp.where(ok_r, jnp.broadcast_to(r_w, (n_pad_c, K3)),
+    r_vals = jnp.where(ok_r, jnp.broadcast_to(r_w, (K3, n_pad_c)),
                        jnp.zeros((), np_dtype))
-    # transposed (K, n_pad) — see build_level_ops
-    return p_cols.T, p_vals.T, r_cols.T, r_vals.T
+    return p_cols, p_vals, r_cols, r_vals
 
 
 @partial(jax.jit, static_argnames=("iters",))

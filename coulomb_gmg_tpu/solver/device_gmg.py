@@ -220,10 +220,8 @@ class StencilGMG:
                 -1).reshape(-1, dim)
             interior = (coords0 > 0).all(1) & (coords0 < m0).all(1)
             n0_pad = _pad_n(topos[0].n)
-            bnd = np.where(~interior)[0]
-            dst_handles = (pk.i(np.where(interior)[0]),
-                           pk.i(_pad_idx(bnd, n0_pad - 1)),
-                           pk.f(d.S), pk.f(d.lam))
+            from coulomb_gmg_tpu.solver.tpu_gmg import _dst_handles
+            dst_handles = _dst_handles(pk, interior, n0_pad, d)
             self.dst_shape = (m0 - 1,) * dim
             self.dst = d
 
@@ -298,10 +296,10 @@ class StencilGMG:
             s["con_rows"], s["con_cols"], s["con_w"], s["con_g"],
             n_pad=self.n_pad, Kt=self._Kt)
         if dst_handles is not None:
-            self.dst_interior = views[dst_handles[0]]
-            self.dst_boundary = views[dst_handles[1]]
-            self.dst_S = views[dst_handles[2]]
-            self.dst_lam = views[dst_handles[3]]
+            from coulomb_gmg_tpu.solver.tpu_gmg import _resolve_dst
+            (self.dst_interior, self.dst_inv_map, self.dst_int_mask,
+             self.dst_bnd_mask, self.dst_S, self.dst_lam) = \
+                _resolve_dst(views, dst_handles)
         if self._debug:
             import time as _t
             built = sum(1 for _, h in ship_specs if h is not None)
@@ -334,7 +332,8 @@ class StencilGMG:
         return {"sys": sys_tree, "levels": lv_list,
                 "src_lvl": self._src_lvl, "src_idx": self._src_idx,
                 "dst": ((self.dst_S, self.dst_lam, self.dst_interior,
-                         self.dst_boundary) if self.dst is not None
+                         self.dst_inv_map, self.dst_int_mask,
+                         self.dst_bnd_mask) if self.dst is not None
                         else None)}
 
     def solve(self, rhs, x0=None, rtol: float = 1e-6, maxiter: int = 100,
@@ -402,11 +401,17 @@ class StencilGMG:
             assert rho_dev.shape[0] == self._C_pad, (
                 rho_dev.shape, self._C_pad)
         s = self._sys_dev
+        import time
+        t0 = time.time()
         rhs_dev = _rhs_device(rho_dev, self._put(wq), self._put(phi),
                               s["hdim"], s["c2d"], s["d2c"], s["hsc"],
                               s["kref"], s["g_full"], s["con_mask"],
                               s["conT_row"], s["conT_w"])
+        t1 = time.time()
         rhs_np = np.asarray(rhs_dev)[: self.n]
+        if self._debug:
+            print(f"[device_gmg] rhs dispatch {t1 - t0:.2f}s "
+                  f"pull {time.time() - t1:.2f}s", flush=True)
         return rhs_np, rhs_dev
 
     # ----------------------------------------------- host f64 matvec (IR)
@@ -616,11 +621,16 @@ def solve_refined_matfree(gmg: StencilGMG, rhs, x0=None, rtol: float = 1e-8,
     tol = rtol * nb
     x64 = (np.asarray(x0, np.float64) if x0 is not None
            else np.zeros_like(b64))
+    import time
     total_k = 0
     res0 = None
     resf = nb
     for p in range(max_passes + 1):
+        t0 = time.time()
         r64 = b64 - gmg.host_matvec64(x64)
+        if gmg._debug:
+            print(f"[device_gmg] host defect {time.time() - t0:.2f}s",
+                  flush=True)
         rnorm = float(np.linalg.norm(r64))
         if res0 is None:
             res0 = rnorm

@@ -351,9 +351,9 @@ def _fused_gmg_cg(rhs, x0, tol, coarse_rtol, flat, *, treedef, degree,
     def coarse_solve(d0):
         lv = levels[0]
         if ops["dst"] is not None:
-            S, lam, interior, bnd = ops["dst"]
-            return _coarse_apply(S, lam, d0, lv["inv_diag"], interior, bnd,
-                                 dst_shape)
+            S, lam, interior, inv_map, int_mask, bnd_mask = ops["dst"]
+            return _coarse_apply(S, lam, d0, lv["inv_diag"], interior,
+                                 inv_map, int_mask, bnd_mask, dst_shape)
         # Chebyshev-preconditioned CG while_loop on the coarse ELL
         def amv(v):
             return _ell_mv_t(lv["A"][0], lv["A"][1], v)
@@ -457,9 +457,12 @@ def _fused_gmg_cg(rhs, x0, tol, coarse_rtol, flat, *, treedef, degree,
 
 
 @partial(jax.jit, static_argnames=("shape",))
-def _coarse_apply(S, lam, d, inv_diag, interior_idx, b_idx, shape):
+def _coarse_apply(S, lam, d, inv_diag, interior_idx, inv_map, int_mask,
+                  bnd_mask, shape):
     """DST direct coarse solve: interior nodes exactly, eliminated
-    (boundary) rows via their regularization diagonal."""
+    (boundary) rows via their regularization diagonal.  The result is
+    written back by GATHER (inv_map) + masks — the index-list scatter-set
+    serialized on XLA:TPU (see copy_map_tables)."""
     b3 = d[interior_idx].reshape(shape)
     u = b3
     dim = len(shape)
@@ -472,10 +475,10 @@ def _coarse_apply(S, lam, d, inv_diag, interior_idx, b_idx, shape):
         u = jnp.moveaxis(
             jnp.tensordot(S, jnp.moveaxis(u, ax, 0), axes=([1], [0]),
                           precision=jax.lax.Precision.HIGHEST), 0, ax)
-    out = jnp.zeros_like(d)
-    out = out.at[interior_idx].set(u.reshape(-1))
-    out = out.at[b_idx].set(d[b_idx] * inv_diag[b_idx])
-    return out
+    uf = u.reshape(-1)
+    out = jnp.where(int_mask, uf[jnp.minimum(inv_map, uf.shape[0] - 1)],
+                    jnp.zeros((), d.dtype))
+    return jnp.where(bnd_mask, d * inv_diag, out)
 
 
 # ---------------------------------------------------------------------------
@@ -565,6 +568,25 @@ def _pad_idx(idx: np.ndarray, pad_value: int) -> np.ndarray:
     out = np.full(m, pad_value, dtype=np.int64)
     out[: len(idx)] = idx
     return out
+
+
+def _dst_handles(pk, interior, n0_pad: int, d):
+    """Pack gather-form DST coarse-solve operands (see _coarse_apply)."""
+    m = int(interior.sum())
+    n_real = len(interior)
+    inv_map = np.zeros(n0_pad, np.int64)
+    inv_map[np.where(interior)[0]] = np.arange(m)
+    int_mask = np.zeros(n0_pad, np.uint8)
+    int_mask[: n_real][interior] = 1
+    bnd_mask = np.zeros(n0_pad, np.uint8)
+    bnd_mask[: n_real][~interior] = 1
+    return (pk.i(np.where(interior)[0]), pk.i(inv_map), pk.b(int_mask),
+            pk.b(bnd_mask), pk.f(d.S), pk.f(d.lam))
+
+
+def _resolve_dst(views, handles):
+    interior, inv_map, int_m, bnd_m, S, lam = (views[h] for h in handles)
+    return interior, inv_map, int_m != 0, bnd_m != 0, S, lam
 
 
 def copy_map_tables(copy_global, copy_level, n_pad: int, nl_pads):
@@ -834,10 +856,7 @@ class TpuGMG:
                                                                       forest.dim)
             interior = (coords > 0).all(1) & (coords < m0).all(1)
             n0_pad = level_specs[0]["n_pad"]
-            bnd = np.where(~interior)[0]
-            dst_handles = (pk.i(np.where(interior)[0]),
-                           pk.i(_pad_idx(bnd, n0_pad - 1)),
-                           pk.f(d.S), pk.f(d.lam))
+            dst_handles = _dst_handles(pk, interior, n0_pad, d)
             self.dst_shape = (m0 - 1,) * forest.dim
             self.dst = d
 
@@ -897,10 +916,9 @@ class TpuGMG:
             print(f"[tpu_gmg] level ops reused/delta/packed: "
                   f"{self._lvl_ship_stats}", flush=True)
         if dst_handles is not None:
-            self.dst_interior = views[dst_handles[0]]
-            self.dst_boundary = views[dst_handles[1]]
-            self.dst_S = views[dst_handles[2]]
-            self.dst_lam = views[dst_handles[3]]
+            (self.dst_interior, self.dst_inv_map, self.dst_int_mask,
+             self.dst_bnd_mask, self.dst_S, self.dst_lam) = \
+                _resolve_dst(views, dst_handles)
         if self._debug:
             print(f"[tpu_gmg] init {time.time() - t_init:.2f}s "
                   f"(n={n}, levels={[lv.n for lv in self.levels]})",
@@ -912,7 +930,8 @@ class TpuGMG:
         lv = self.levels[0]
         if self.dst is not None:
             return _coarse_apply(self.dst_S, self.dst_lam, d0, lv.inv_diag,
-                                 self.dst_interior, self.dst_boundary,
+                                 self.dst_interior, self.dst_inv_map,
+                                 self.dst_int_mask, self.dst_bnd_mask,
                                  self.dst_shape)
         # fallback: chebyshev-preconditioned CG on the coarse ELL
         x = None
@@ -991,7 +1010,8 @@ class TpuGMG:
         tree = {"sys": (self.sys_cols, self.sys_vals), "levels": lv_list,
                 "src_lvl": self.src_lvl, "src_idx": self.src_idx,
                 "dst": ((self.dst_S, self.dst_lam, self.dst_interior,
-                         self.dst_boundary) if self.dst is not None
+                         self.dst_inv_map, self.dst_int_mask,
+                         self.dst_bnd_mask) if self.dst is not None
                         else None)}
         return tree
 
