@@ -488,11 +488,20 @@ class Simulation:
                         len(self.solution) == g.n:
                     x0_np = self.solution
                 if self.dtype == jnp.float32 and cfg.cg_rtol < 5e-7:
-                    # f32 recurrence floor ~6e-7: mixed-precision IR with
-                    # a MATRIX-FREE f64 defect (solver/tpu_gmg.py notes)
-                    x, k, res0, resf = solve_refined_matfree(
-                        g, rhs_np, x0_np, rtol=cfg.cg_rtol,
-                        maxiter=cfg.cg_max_iters)
+                    # f32 recurrence floor ~6e-7: mixed-precision IR.
+                    # With the double-f32 rhs pair resident (device RHS
+                    # assembly ran), the defect runs ON DEVICE — no
+                    # per-pass ships or host matvecs.
+                    if getattr(g, "_b_dd", None) is not None:
+                        from coulomb_gmg_tpu.solver.device_gmg import (
+                            solve_refined_device)
+                        x, k, res0, resf = solve_refined_device(
+                            g, rhs_np, x0_np, rtol=cfg.cg_rtol,
+                            maxiter=cfg.cg_max_iters)
+                    else:
+                        x, k, res0, resf = solve_refined_matfree(
+                            g, rhs_np, x0_np, rtol=cfg.cg_rtol,
+                            maxiter=cfg.cg_max_iters)
                 else:
                     x, k, res0, resf = g.solve(
                         rhs_np, x0_np, rtol=cfg.cg_rtol,

@@ -287,6 +287,9 @@ class StencilGMG:
         self._src_idx = views[h_src_idx]
         self._sys_dev = {k: views[h] for k, h in h_sys.items()}
         kref_dev = put(self._kref_host.astype(self.np_dtype))
+        kref_hi = self._kref_host.astype(self.np_dtype)
+        self._kref_hi = put(kref_hi)
+        self._kref_lo = put((self._kref_host - kref_hi).astype(self.np_dtype))
         s = self._sys_dev
         s["kref"] = kref_dev
         s["d2c"] = _build_d2c(s["c2d"], n_pad=self.n_pad)
@@ -338,17 +341,23 @@ class StencilGMG:
 
     def solve(self, rhs, x0=None, rtol: float = 1e-6, maxiter: int = 100,
               abstol: float = 0.0, fused: Optional[bool] = None,
-              rhs_dev=None):
+              rhs_dev=None, rhs_norm: Optional[float] = None,
+              return_dev: bool = False):
         """Fused one-dispatch GMG-CG (TpuGMG.solve contract).  ``rhs_dev``:
-        an already-device-resident padded rhs (the device RHS-assembly
-        path) — skips the host ship; ``rhs`` is still used for the
-        tolerance norm if given, else the norm is computed on device."""
+        an already-device-resident padded rhs (the device RHS-assembly /
+        device-IR paths) — skips the host ship; ``rhs_norm`` supplies the
+        tolerance norm without a pull; ``return_dev`` keeps the padded
+        solution on device (the device-IR accumulation) instead of
+        pulling it."""
         import time
         t_s = time.time()
         if rhs_dev is not None:
             bj = rhs_dev
-            nb2 = (float(np.linalg.norm(np.asarray(rhs, np.float64)))
-                   if rhs is not None else float(jnp.linalg.norm(bj)))
+            if rhs_norm is not None:
+                nb2 = float(rhs_norm)
+            else:
+                nb2 = (float(np.linalg.norm(np.asarray(rhs, np.float64)))
+                       if rhs is not None else float(jnp.linalg.norm(bj)))
         else:
             b = np.zeros(self.n_pad, self.np_dtype)
             b[: self.n] = np.asarray(rhs, self.np_dtype)
@@ -365,9 +374,9 @@ class StencilGMG:
             treedef=treedef, degree=self.degree,
             dst_shape=self.dst_shape if self.dst is not None else None,
             coarse_maxiter=self.coarse_maxiter, maxiter=maxiter)
-        out = np.asarray(xs)[: self.n]            # one D2H pull
-        st = np.asarray(stats)                    # + one small pull
+        st = np.asarray(stats)                    # one small pull
         k, res0, res = int(st[0]), float(st[1]), float(st[2])
+        out = xs if return_dev else np.asarray(xs)[: self.n]
         if self._debug:
             print(f"[device_gmg] fused solve {k} iters "
                   f"{time.time() - t_s:.2f}s", flush=True)
@@ -403,10 +412,11 @@ class StencilGMG:
         s = self._sys_dev
         import time
         t0 = time.time()
-        rhs_dev = _rhs_device(rho_dev, self._put(wq), self._put(phi),
-                              s["hdim"], s["c2d"], s["d2c"], s["hsc"],
-                              s["kref"], s["g_full"], s["con_mask"],
-                              s["conT_row"], s["conT_w"])
+        rhs_dev, bh, bl = _rhs_device(
+            rho_dev, self._put(wq), self._put(phi), s["hdim"], s["c2d"],
+            s["d2c"], s["hsc"], s["kref"], s["g_full"], s["con_mask"],
+            s["conT_row"], s["conT_w"])
+        self._b_dd = (bh, bl)       # double-f32 rhs for the device defect
         t1 = time.time()
         rhs_np = np.asarray(rhs_dev)[: self.n]
         if self._debug:
@@ -597,9 +607,17 @@ def _rhs_device(rho, wq, phi, hdim, c2d, d2c, hsc, kref, g_full, con_mask,
     for b in range(nb):
         hi, lo = _neumaier_step(hi, lo, fl_hi[d2c[b]])
         lo = lo + fl_lo[d2c[b]]
-    raw = hi + lo
-    y = raw + jnp.sum(conT_w * raw[conT_row], axis=0)
-    return jnp.where(con_mask, 0.0, y).astype(raw.dtype)  # zero rhs rows
+    # constraint C^T carrying the double-f32 pair (the master corrections
+    # are first-order); non-master dofs reduce to hi + lo exactly as the
+    # collapsed form did
+    ch = jnp.sum(conT_w * hi[conT_row], axis=0)
+    cl = jnp.sum(conT_w * lo[conT_row], axis=0)
+    H, L = _neumaier_step(hi, lo, ch)
+    L = L + cl
+    zero = jnp.zeros((), rho.dtype)
+    H = jnp.where(con_mask, zero, H)                     # zero rhs rows
+    L = jnp.where(con_mask, zero, L)
+    return (H + L).astype(rho.dtype), H, L
 
 
 @jax.jit
@@ -608,6 +626,121 @@ def _raw_diag(c2dT, d2cT, hsc, kref):
     kd = jnp.diagonal(kref)
     vals = (kd[:, None] * hsc[None, :]).reshape(-1)   # (nb, C_pad) flat
     return jnp.sum(vals[d2cT], axis=0)
+
+
+@jax.jit
+def _defect_dd(bh, bl, xh, xl, c2dT, d2cT, hsc, kref_hi, kref_lo,
+               con_mask, con_cols_full, con_w_full, conT_row, conT_w):
+    """Double-f32 device defect ``r = b - A x`` with the EXACT assembled
+    semantics (C^T A_raw C + regularized constrained rows): the f64 host
+    defect of iterative refinement moved onto the chip — products against
+    the split K_ref are exact, every accumulation is Neumaier-compensated,
+    h factors are exact powers of two.  Entry accuracy ~2^-48 relative —
+    the refinement target (1e-8 * ||b||) is a TRUE residual.
+
+    Returns (r32, r_hi, r_lo, ||r||^2)."""
+    Kc = con_cols_full.shape[0]
+    nb = c2dT.shape[0]
+    # w = C x (hanging weights are exact powers of two)
+    EH = jnp.zeros_like(xh)
+    EL = jnp.zeros_like(xh)
+    for k in range(Kc):
+        EH, EL = _neumaier_step(EH, EL,
+                                con_w_full[k] * xh[con_cols_full[k]])
+        EL = EL + con_w_full[k] * xl[con_cols_full[k]]
+    wh = jnp.where(con_mask, EH, xh)
+    wl = jnp.where(con_mask, EL, xl)
+    # cell pass: yl[a, c] = sum_b kref[a, b] w[c2d[b, c]], double-f32
+    gh = wh[c2dT]                                        # (nb, C_pad)
+    gl = wl[c2dT]
+    YH = jnp.zeros_like(gh)
+    YL = jnp.zeros_like(gh)
+    for b in range(nb):
+        t, te = _two_prod(kref_hi[:, b][:, None], gh[b][None, :])
+        YH, YL = _neumaier_step(YH, YL, t)
+        YL = (YL + te + kref_lo[:, b][:, None] * gh[b][None, :]
+              + kref_hi[:, b][:, None] * gl[b][None, :])
+    YH = YH * hsc[None, :]                               # exact pow2
+    YL = YL * hsc[None, :]
+    fh = YH.reshape(-1)
+    fl = YL.reshape(-1)
+    ZH = jnp.zeros(d2cT.shape[1], xh.dtype)
+    ZL = jnp.zeros_like(ZH)
+    for b in range(d2cT.shape[0]):
+        ZH, ZL = _neumaier_step(ZH, ZL, fh[d2cT[b]])
+        ZL = ZL + fl[d2cT[b]]
+    # C^T
+    ch = jnp.sum(conT_w * ZH[conT_row], axis=0)
+    cl = jnp.sum(conT_w * ZL[conT_row], axis=0)
+    AH, AL = _neumaier_step(ZH, ZL, ch)
+    AL = AL + cl
+    # r = b - A x; constrained rows are exactly zero (b rows are zero and
+    # the iterate keeps x = 0 there)
+    RH, RL = _neumaier_step(bh, bl, -AH)
+    RL = RL - AL
+    zero = jnp.zeros((), xh.dtype)
+    RH = jnp.where(con_mask, zero, RH)
+    RL = jnp.where(con_mask, zero, RL)
+    r32 = (RH + RL).astype(xh.dtype)
+    return r32, RH, RL, jnp.vdot(r32, r32)
+
+
+@jax.jit
+def _dd_axpy(xh, xl, d):
+    """(xh, xl) += d, exactly (Neumaier)."""
+    return _neumaier_step(xh, xl, d)
+
+
+def solve_refined_device(gmg: StencilGMG, rhs_np, x0=None,
+                         rtol: float = 1e-8, maxiter: int = 100,
+                         inner_rtol: float = 1e-6, max_passes: int = 4):
+    """Iterative refinement with the defect ON DEVICE: no per-pass x/defect
+    ships, no host matvecs — one scalar pull per pass plus the final
+    solution pair.  Requires assemble_rhs to have produced the double-f32
+    rhs pair (gmg._b_dd); the solution accumulates on device as a
+    double-f32 pair."""
+    import time
+    s = gmg._sys_dev
+    bh, bl = gmg._b_dd
+    nb_ = float(np.linalg.norm(np.asarray(rhs_np, np.float64)))
+    tol = rtol * nb_
+    if x0 is not None:
+        x64 = np.zeros(gmg.n_pad, np.float64)
+        x64[: gmg.n] = np.asarray(x0, np.float64)
+        xh_np = x64.astype(gmg.np_dtype)
+        xh = gmg._put(xh_np)
+        xl = gmg._put((x64 - xh_np).astype(gmg.np_dtype))
+    else:
+        xh = gmg._put(np.zeros(gmg.n_pad, gmg.np_dtype))
+        xl = gmg._put(np.zeros(gmg.n_pad, gmg.np_dtype))
+    total_k = 0
+    res0 = None
+    resf = nb_
+    for p in range(max_passes + 1):
+        t0 = time.time()
+        r32, RH, RL, rn2 = _defect_dd(
+            bh, bl, xh, xl, s["c2d"], s["d2c"], s["hsc"], gmg._kref_hi,
+            gmg._kref_lo, s["con_mask"], s["con_cols_full"],
+            s["con_w_full"], s["conT_row"], s["conT_w"])
+        rnorm = float(np.sqrt(max(float(rn2), 0.0)))     # one scalar pull
+        if gmg._debug:
+            print(f"[device_gmg] device defect {time.time() - t0:.2f}s "
+                  f"rnorm {rnorm:.3e}", flush=True)
+        if res0 is None:
+            res0 = rnorm
+        resf = rnorm
+        if rnorm <= tol or total_k >= maxiter or p == max_passes:
+            break
+        need = tol / max(rnorm, 1e-300)
+        inner = min(max(inner_rtol, 0.3 * need), 0.1)
+        d_pad, k, _, _ = gmg.solve(None, None, rtol=inner, maxiter=maxiter,
+                                   rhs_dev=r32, rhs_norm=rnorm,
+                                   return_dev=True)
+        xh, xl = _dd_axpy(xh, xl, d_pad)
+        total_k += int(k)
+    x64 = (np.asarray(xh, np.float64)
+           + np.asarray(xl, np.float64))[: gmg.n]
+    return x64, total_k, res0, resf
 
 
 def solve_refined_matfree(gmg: StencilGMG, rhs, x0=None, rtol: float = 1e-8,
