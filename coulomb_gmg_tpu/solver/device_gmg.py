@@ -597,7 +597,9 @@ def _rhs_device(rho, wq, phi, hdim, c2d, d2c, hsc, kref, g_full, con_mask,
     hd = hdim[None, :]                    # exact power of two per cell
     f_hi = S * hd
     f_lo = E * hd
-    lift = (kref @ g_full[c2d]) * hsc[None, :]           # inhomog. BC lift
+    lift = (jax.lax.dot(kref, g_full[c2d],
+                        precision=jax.lax.Precision.HIGHEST)
+            * hsc[None, :])                              # inhomog. BC lift
     fl_hi = (f_hi - lift).reshape(-1)
     fl_lo = f_lo.reshape(-1)
     # cross-cell sum over the <= 2^dim contributing cells (== the host's

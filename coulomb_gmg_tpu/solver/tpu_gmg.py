@@ -282,7 +282,11 @@ def cellwise_mv(s, v):
     wr = jnp.sum(s["con_w_full"] * v[s["con_cols_full"]], axis=0)
     w = jnp.where(s["con_mask"], wr, v)
     xlT = w[s["c2d"]]                                  # (nb, C_pad)
-    ylT = ((s["kref"] @ xlT) * s["hsc"][None, :]).reshape(-1)
+    # full f32 matmul: the MXU's bf16 default cost 4.6e-3 true-residual
+    # error on chip (CLAUDE.md precision note)
+    ylT = ((jax.lax.dot(s["kref"], xlT,
+                        precision=jax.lax.Precision.HIGHEST)
+            * s["hsc"][None, :]).reshape(-1))
     z = jnp.sum(ylT[s["d2c"]], axis=0)                 # transposed gather
     y = z + jnp.sum(s["conT_w"] * z[s["conT_row"]], axis=0)
     return jnp.where(s["con_mask"], s["d_reg"] * v, y)

@@ -226,9 +226,15 @@ def main():
         t_st_hot = time.time() - t0
         rel7 = float(np.linalg.norm(x_s - x_h)
                      / (np.linalg.norm(x_h) + 1e-30))
+        # the honest acceptance is the TRUE residual of the stencil
+        # solution against the exact operator (two iterates inside the
+        # same 1e-6 tolerance ball can legitimately differ by ~1e-3)
+        r_true = float(np.linalg.norm(rhsf - gs.host_matvec64(x_s)))
         emit({"check": "stencil_gmg_compiled", "iters_host": int(k_h),
               "iters_dev": int(k_s), "rel_diff": rel7,
-              "pass": bool(abs(int(k_s) - int(k_h)) <= 1 and rel7 < 1e-3
+              "true_resid_rel": r_true / bn,
+              "pass": bool(abs(int(k_s) - int(k_h)) <= 1
+                           and r_true <= 2e-6 * bn
                            and res_s <= 1e-6 * bn * 1.05),
               "first_call_s": round(t_st, 1),
               "hot_solve_s": round(t_st_hot, 3)})
