@@ -149,13 +149,18 @@ def run_one(on_tpu: bool, n: int) -> dict:
 
     atoms = nacl_lattice(n)
     if on_tpu:
-        # hybrid: host topology/assembly, tiled density + fused IR solve
-        # on-chip (true 1e-8) — the exact reference workload.
-        # BENCH_FE=1 adds the on-chip FE energy-norm postprocess (extra
-        # physics the baseline never ran).
+        # hybrid: the full device pipeline (tiled density -> double-f32
+        # RHS -> stencil operators -> fused matrix-free GMG-CG -> device
+        # IR, true 1e-8) — the exact reference workload.  BENCH_FE=1 adds
+        # the on-chip FE energy-norm postprocess (extra physics the
+        # baseline never ran).  Per-cycle checkpoints let a pool wedge
+        # mid-run RESUME instead of forfeiting the attempt (the resumed
+        # record's wall includes the first attempt — see main()).
         cfg = production_scaling_config(
             n, dtype="float32", solver_backend="tpu_cg",
-            flag_postprocess_error=bool(os.environ.get("BENCH_FE")))
+            flag_postprocess_error=bool(os.environ.get("BENCH_FE")),
+            checkpoint_dir=os.environ.get("BENCH_CKPT_DIR", ""),
+            resume_from=os.environ.get("BENCH_RESUME", ""))
     else:
         # the exact reference workload, full float64.  tpu_cg names the
         # BUCKET-CACHED solver (solver/tpu_gmg.py) — on the host backend it
@@ -194,12 +199,14 @@ def worker_main():
     print("BENCH_RESULT " + json.dumps(rec), flush=True)
 
 
-def _spawn_worker(mode: str, timeout_s) -> dict:
+def _spawn_worker(mode: str, timeout_s, extra_env=None) -> dict:
     """Run one backend in a subprocess; returns its record or a failure
     record.  A fresh process per backend keeps jax platform/x64 config
     clean and lets a wedged accelerator run be killed without losing the
     orchestrator."""
     env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
     env["BENCH_WORKER"] = mode
     if mode == "host":
         # host worker must never instantiate the accelerator plugin: probe
@@ -237,8 +244,28 @@ def main():
 
     candidates = []
     if probe_accelerator():
-        rec = _spawn_worker("tpu", tpu_budget)
+        # per-cycle checkpoints: a pool wedge mid-run no longer forfeits
+        # the whole hybrid attempt (VERDICT r4 #9)
+        import glob
+        import shutil
+        import tempfile
+        ckpt_dir = tempfile.mkdtemp(prefix="bench_ckpt_")
+        rec = _spawn_worker("tpu", tpu_budget,
+                            extra_env={"BENCH_CKPT_DIR": ckpt_dir})
         candidates.append(rec)
+        ckpts = sorted(glob.glob(os.path.join(ckpt_dir, "ckpt_*.npz")))
+        if (not rec.get("ok") and "timeout" in str(rec.get("error", ""))
+                and ckpts and probe_accelerator()):
+            rec2 = _spawn_worker(
+                "tpu", tpu_budget,
+                extra_env={"BENCH_CKPT_DIR": ckpt_dir,
+                           "BENCH_RESUME": ckpts[-1]})
+            # honest accounting: the resumed run's wall includes the
+            # forfeited first attempt
+            rec2["wall"] = rec2.get("wall", 0.0) + rec.get("wall", 0.0)
+            rec2["resumed_from"] = os.path.basename(ckpts[-1])
+            candidates.append(rec2)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     best = None
     valid = [r for r in candidates if r.get("ok")]
     if valid and valid[0]["wall"] <= skip_host_below:

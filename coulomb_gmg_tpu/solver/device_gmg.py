@@ -400,7 +400,6 @@ class StencilGMG:
         wphi_hi = wphi64.astype(self.np_dtype)
         wphi_lo = (wphi64 - wphi_hi).astype(self.np_dtype)
         wq = np.stack([wphi_hi, wphi_lo]).astype(self.np_dtype)
-        phi = np.asarray(tab_rhs.phi).astype(self.np_dtype)
         if isinstance(rho, np.ndarray):
             r = np.zeros((self._C_pad, rho.shape[1]), self.np_dtype)
             r[: rho.shape[0]] = rho
@@ -413,7 +412,7 @@ class StencilGMG:
         import time
         t0 = time.time()
         rhs_dev, bh, bl = _rhs_device(
-            rho_dev, self._put(wq), self._put(phi), s["hdim"], s["c2d"],
+            rho_dev, self._put(wq), s["hdim"], s["c2d"],
             s["d2c"], s["hsc"], s["kref"], s["g_full"], s["con_mask"],
             s["conT_row"], s["conT_w"])
         self._b_dd = (bh, bl)       # double-f32 rhs for the device defect
@@ -569,7 +568,7 @@ def _two_prod(a, b):
 
 
 @jax.jit
-def _rhs_device(rho, wq, phi, hdim, c2d, d2c, hsc, kref, g_full, con_mask,
+def _rhs_device(rho, wq, hdim, c2d, d2c, hsc, kref, g_full, con_mask,
                 conT_row, conT_w):
     """Device RHS with COMPENSATED f32 accumulation.
 
